@@ -1,0 +1,232 @@
+"""Fixed-shape greedy NMS for TPU.
+
+TPU-native replacement for the reference's ``cpu_nms.pyx`` / ``gpu_nms.pyx``
++ ``nms_kernel.cu`` (SURVEY.md §3.3).  The CUDA kernel's 64-box bitmask-tile
+structure is re-thought for XLA/VPU:
+
+  1. sort boxes by score (descending, ties to the lower index — matching the
+     reference's stable argsort);
+  2. walk score-ordered tiles of T boxes: resolve suppression *within* the
+     tile with a short sequential loop over a T x T IoU matrix, then suppress
+     every later box against the tile's kept boxes with one batched
+     (N x T) IoU computation;
+  3. emit the first ``max_out`` surviving boxes as indices + validity mask.
+
+This is *exactly* greedy NMS (bit-identical keep-set to the O(n^2) host
+loop, verified against a numpy oracle in tests/test_nms.py), but the
+sequential dependency is only over the T rows of the active tile — all the
+heavy IoU work is dense, batched, fixed-shape vector math that XLA tiles
+onto the VPU.  Everything jits, vmaps (batch / class axes), and runs
+unchanged on CPU.
+
+A Pallas variant lives in trcnn/ops/nms_pallas.py; this module is the
+portable XLA implementation and the numerical spec.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from trcnn.ops.boxes import box_iou
+
+_NEG_INF = jnp.float32(-jnp.inf)
+
+
+def _pad_to_multiple(x: jnp.ndarray, multiple: int, axis: int, value) -> jnp.ndarray:
+    n = x.shape[axis]
+    pad = (-n) % multiple
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths, constant_values=value)
+
+
+@functools.partial(jax.jit, static_argnames=("max_out", "tile"))
+def nms_padded(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    valid: jnp.ndarray,
+    iou_thresh,
+    max_out: int,
+    tile: int = 128,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Greedy NMS over a padded box set.
+
+    Args:
+      boxes:  (N, 4) float boxes (x1, y1, x2, y2), +1 pixel convention.
+      scores: (N,) float scores.
+      valid:  (N,) bool; False entries are padding and never selected.
+      iou_thresh: scalar IoU threshold (suppress if IoU > thresh).
+      max_out: static output capacity K.
+      tile: static tile size for the sequential-suppression window.
+
+    Returns:
+      keep_idx:   (K,) int32 indices into the *input* arrays, score-ordered.
+                  Padding slots hold 0.
+      keep_valid: (K,) bool validity of each output slot.
+    """
+    n_in = boxes.shape[0]
+    # --- sort by score descending (stable: ties to lower index) ---------
+    masked = jnp.where(valid, scores.astype(jnp.float32), _NEG_INF)
+    sorted_scores, order = lax.top_k(masked, n_in)
+    sboxes = jnp.take(boxes, order, axis=0)
+    svalid = sorted_scores > _NEG_INF
+
+    # --- pad to a tile multiple -----------------------------------------
+    sboxes = _pad_to_multiple(sboxes, tile, axis=0, value=0.0)
+    svalid = _pad_to_multiple(svalid, tile, axis=0, value=False)
+    n = sboxes.shape[0]
+    num_tiles = n // tile
+
+    suppressed0 = ~svalid
+    pos = jnp.arange(n, dtype=jnp.int32)
+    row_idx = jnp.arange(tile, dtype=jnp.int32)
+
+    def tile_body(i, suppressed):
+        start = i * tile
+        tb = lax.dynamic_slice(sboxes, (start, 0), (tile, 4))
+        sup_t = lax.dynamic_slice(suppressed, (start,), (tile,))
+
+        # self-suppression: sequential greedy over the tile's rows
+        over_tt = box_iou(tb, tb) > iou_thresh  # (T, T)
+
+        def row_body(r, sup):
+            kept_r = ~sup[r]
+            return sup | (kept_r & over_tt[r] & (row_idx > r))
+
+        sup_t = lax.fori_loop(0, tile, row_body, sup_t)
+        keep_t = ~sup_t
+
+        # cross-suppression: kept boxes of this tile kill later boxes
+        over_nt = box_iou(sboxes, tb) > iou_thresh  # (N, T)
+        killed = jnp.any(over_nt & keep_t[None, :], axis=1) & (pos >= start + tile)
+
+        suppressed = lax.dynamic_update_slice(suppressed, sup_t, (start,))
+        return suppressed | killed
+
+    suppressed = lax.fori_loop(0, num_tiles, tile_body, suppressed0)
+    keep = ~suppressed  # still score-sorted
+
+    # --- compact the first max_out kept boxes ---------------------------
+    # kept boxes already appear in score order; selecting the smallest
+    # positions among kept == selecting the top-scoring survivors.
+    sel_key = jnp.where(keep, pos, n)
+    neg_vals, sel_sorted_pos = lax.top_k(-sel_key, max_out)
+    keep_valid = neg_vals > -n
+    # sel_sorted_pos indexes into the sorted arrays -> map to input indices
+    keep_idx = jnp.take(order, (-neg_vals).astype(jnp.int32) % n, axis=0)
+    keep_idx = jnp.where(keep_valid, keep_idx, 0).astype(jnp.int32)
+    return keep_idx, keep_valid
+
+
+def batched_nms(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    valid: jnp.ndarray,
+    iou_thresh,
+    max_out: int,
+    tile: int = 128,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """nms_padded vmapped over one leading batch axis."""
+    fn = functools.partial(nms_padded, max_out=max_out, tile=tile)
+    return jax.vmap(fn, in_axes=(0, 0, 0, None))(boxes, scores, valid, iou_thresh)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_per_class", "max_total", "tile", "class_offset"),
+)
+def multiclass_nms(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    valid: jnp.ndarray,
+    iou_thresh,
+    score_thresh,
+    max_per_class: int,
+    max_total: int,
+    tile: int = 128,
+    class_offset: int = 1,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Test-time per-class NMS + merge (the reference's forward.py epilogue,
+    SURVEY.md §4.1), fully on device.
+
+    Args:
+      boxes:  (R, C, 4) class-specific decoded boxes (or (R, 4), shared).
+      scores: (R, C) per-class probabilities INCLUDING background at col 0.
+      valid:  (R,) RoI validity.
+      iou_thresh: per-class NMS threshold (0.3 at test time).
+      score_thresh: minimum score to consider a detection.
+      max_per_class / max_total: static capacities.
+      class_offset: first foreground class column (1 skips background).
+
+    Returns (det_boxes (D,4), det_scores (D,), det_classes (D,) int32,
+    det_valid (D,)) with D = max_total, score-sorted descending.
+    """
+    r, c = scores.shape
+    fg = c - class_offset
+    if boxes.ndim == 2:
+        boxes_pc = jnp.broadcast_to(boxes[:, None, :], (r, c, 4))
+    else:
+        boxes_pc = boxes
+    # (FG, R, ...) layouts for vmap over classes
+    cls_boxes = jnp.moveaxis(boxes_pc[:, class_offset:, :], 1, 0)
+    cls_scores = jnp.moveaxis(scores[:, class_offset:], 1, 0)
+    cls_valid = valid[None, :] & (cls_scores > score_thresh)
+
+    nms_fn = functools.partial(nms_padded, max_out=max_per_class, tile=tile)
+    keep_idx, keep_valid = jax.vmap(nms_fn, in_axes=(0, 0, 0, None))(
+        cls_boxes, cls_scores, cls_valid, iou_thresh
+    )  # (FG, K), (FG, K)
+
+    g_boxes = jnp.take_along_axis(cls_boxes, keep_idx[..., None], axis=1)
+    g_scores = jnp.take_along_axis(cls_scores, keep_idx, axis=1)
+    g_scores = jnp.where(keep_valid, g_scores, _NEG_INF)
+    g_classes = jnp.broadcast_to(
+        jnp.arange(class_offset, c, dtype=jnp.int32)[:, None], (fg, max_per_class)
+    )
+
+    flat_scores = g_scores.reshape(-1)
+    flat_boxes = g_boxes.reshape(-1, 4)
+    flat_classes = g_classes.reshape(-1)
+
+    top_scores, top_i = lax.top_k(flat_scores, max_total)
+    det_valid = top_scores > _NEG_INF
+    det_boxes = jnp.take(flat_boxes, top_i, axis=0)
+    det_classes = jnp.where(det_valid, jnp.take(flat_classes, top_i), 0)
+    det_scores = jnp.where(det_valid, top_scores, 0.0)
+    det_boxes = jnp.where(det_valid[:, None], det_boxes, 0.0)
+    return det_boxes, det_scores, det_classes, det_valid
+
+
+def nms_oracle_numpy(boxes, scores, iou_thresh):
+    """Pure-numpy O(n^2) greedy NMS — the reference semantics of
+    py-faster-rcnn's ``py_cpu_nms`` lineage, kept as the test oracle
+    (SURVEY.md §5 kernel-parity strategy)."""
+    import numpy as np
+
+    boxes = np.asarray(boxes, dtype=np.float64)
+    scores = np.asarray(scores, dtype=np.float64)
+    x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+    areas = (x2 - x1 + 1.0) * (y2 - y1 + 1.0)
+    # stable descending sort (ties -> lower index first)
+    order = np.argsort(-scores, kind="stable")
+    keep = []
+    while order.size > 0:
+        i = order[0]
+        keep.append(int(i))
+        xx1 = np.maximum(x1[i], x1[order[1:]])
+        yy1 = np.maximum(y1[i], y1[order[1:]])
+        xx2 = np.minimum(x2[i], x2[order[1:]])
+        yy2 = np.minimum(y2[i], y2[order[1:]])
+        w = np.maximum(0.0, xx2 - xx1 + 1.0)
+        h = np.maximum(0.0, yy2 - yy1 + 1.0)
+        inter = w * h
+        iou = inter / (areas[i] + areas[order[1:]] - inter)
+        order = order[1:][iou <= iou_thresh]
+    return keep

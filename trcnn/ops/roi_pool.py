@@ -1,0 +1,167 @@
+"""RoI max pooling (exact Caffe/Chainer ``roi_pooling_2d`` semantics).
+
+The reference uses Chainer's built-in ``F.roi_pooling_2d`` whose GPU path is
+a raw CUDA kernel (SURVEY.md §3.3).  This is the portable XLA formulation:
+each of the ``out x out`` bins gathers a static (MAX_BIN_H x MAX_BIN_W)
+window of feature cells (the maximum bin extent for the given feature-map
+size), masks cells past the bin end, and reduces with max.  All shapes are
+static; JAX autodiff of (gather -> masked max) yields exactly the
+argmax-scatter backward of the CUDA kernel.
+
+Bin-boundary math matches the Caffe ROIPooling lineage:
+  roi_start = round(coord * spatial_scale)        (round half away from zero)
+  roi_size  = max(roi_end - roi_start + 1, 1)     (+1 pixel convention)
+  bin [p]   = [floor(p * roi_size/out), ceil((p+1) * roi_size/out))
+  empty bins output 0.
+
+A VMEM-resident Pallas kernel for the TPU hot path lives in
+trcnn/ops/roi_pool_pallas.py; this module is the spec and the CPU-safe
+fallback (BASELINE.json config 1 requires a CPU-runnable single-image path).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+_NEG_INF = jnp.float32(-jnp.inf)
+
+
+def _round_half_away(x: jnp.ndarray) -> jnp.ndarray:
+    """C round(): half away from zero (numpy/jnp round is half-to-even)."""
+    return jnp.sign(x) * jnp.floor(jnp.abs(x) + 0.5)
+
+
+def roi_bin_bounds(
+    rois: jnp.ndarray, spatial_scale: float, out_size: int, feat_h: int, feat_w: int
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Integer bin boundaries for each roi and output bin.
+
+    Returns (hstart, hend, wstart, wend), each (R, out) int32, clipped to the
+    feature extent. ``hend``/``wend`` are exclusive.
+    """
+    start_w = _round_half_away(rois[:, 0] * spatial_scale).astype(jnp.int32)
+    start_h = _round_half_away(rois[:, 1] * spatial_scale).astype(jnp.int32)
+    end_w = _round_half_away(rois[:, 2] * spatial_scale).astype(jnp.int32)
+    end_h = _round_half_away(rois[:, 3] * spatial_scale).astype(jnp.int32)
+    roi_w = jnp.maximum(end_w - start_w + 1, 1)
+    roi_h = jnp.maximum(end_h - start_h + 1, 1)
+
+    # Bin boundaries in exact integer arithmetic.  floor(p*rh/out) and
+    # ceil((p+1)*rh/out) on integer rh are integer div / round-up div —
+    # float division here is NOT exact (XLA lowers x/y to reciprocal
+    # multiply, which flips ceil() at exact bin boundaries).
+    p = jnp.arange(out_size, dtype=jnp.int32)
+    hstart = (p[None, :] * roi_h[:, None]) // out_size + start_h[:, None]
+    hend = ((p[None, :] + 1) * roi_h[:, None] + out_size - 1) // out_size + start_h[:, None]
+    wstart = (p[None, :] * roi_w[:, None]) // out_size + start_w[:, None]
+    wend = ((p[None, :] + 1) * roi_w[:, None] + out_size - 1) // out_size + start_w[:, None]
+
+    hstart = jnp.clip(hstart, 0, feat_h)
+    hend = jnp.clip(hend, 0, feat_h)
+    wstart = jnp.clip(wstart, 0, feat_w)
+    wend = jnp.clip(wend, 0, feat_w)
+    return hstart, hend, wstart, wend
+
+
+def max_bin_extent(feat_dim: int, out_size: int) -> int:
+    """Static upper bound on a bin's cell count along one axis.
+
+    bin_size <= feat_dim / out_size, and a [floor, ceil) window spans at most
+    ceil(bin_size) + 1 cells.
+    """
+    return int(-(-feat_dim // out_size)) + 1
+
+
+@functools.partial(jax.jit, static_argnames=("out_size", "spatial_scale"))
+def roi_max_pool(
+    feat: jnp.ndarray,
+    rois: jnp.ndarray,
+    out_size: int = 7,
+    spatial_scale: float = 1.0 / 16.0,
+) -> jnp.ndarray:
+    """RoI max pooling over one image.
+
+    Args:
+      feat: (H, W, C) feature map (NHWC single image).
+      rois: (R, 4) boxes in *image* coordinates (x1, y1, x2, y2).
+      out_size: pooled output resolution (7 for the VGG-16 head).
+      spatial_scale: feature stride inverse (1/16).
+
+    Returns:
+      (R, out_size, out_size, C) pooled features.  Empty bins are 0, matching
+      the Caffe kernel.  Invalid/padding rois simply produce values that the
+      caller masks downstream.
+    """
+    h, w, c = feat.shape
+    r = rois.shape[0]
+    hstart, hend, wstart, wend = roi_bin_bounds(rois, spatial_scale, out_size, h, w)
+
+    mbh = max_bin_extent(h, out_size)
+    mbw = max_bin_extent(w, out_size)
+    flat = feat.reshape(h * w, c)
+
+    dh = jnp.arange(mbh, dtype=jnp.int32)
+    dw = jnp.arange(mbw, dtype=jnp.int32)
+
+    cols = []
+    for ph in range(out_size):
+        rows = []
+        h_idx = hstart[:, ph, None] + dh[None, :]          # (R, MBH)
+        h_ok = h_idx < hend[:, ph, None]
+        h_idx = jnp.clip(h_idx, 0, h - 1)
+        for pw in range(out_size):
+            w_idx = wstart[:, pw, None] + dw[None, :]      # (R, MBW)
+            w_ok = w_idx < wend[:, pw, None]
+            w_idx = jnp.clip(w_idx, 0, w - 1)
+            lin = h_idx[:, :, None] * w + w_idx[:, None, :]  # (R, MBH, MBW)
+            vals = flat[lin.reshape(r, -1)]                 # (R, MBH*MBW, C)
+            ok = (h_ok[:, :, None] & w_ok[:, None, :]).reshape(r, -1)
+            vals = jnp.where(ok[..., None], vals, _NEG_INF)
+            binmax = jnp.max(vals, axis=1)                  # (R, C)
+            empty = ~jnp.any(ok, axis=1)
+            rows.append(jnp.where(empty[:, None], 0.0, binmax))
+        cols.append(jnp.stack(rows, axis=1))                # (R, out, C)
+    return jnp.stack(cols, axis=1)                          # (R, out, out, C)
+
+
+def roi_max_pool_batched(feat: jnp.ndarray, rois: jnp.ndarray,
+                         out_size: int = 7, spatial_scale: float = 1.0 / 16.0):
+    """vmap over a leading batch axis of both feat (B,H,W,C) and rois (B,R,4)."""
+    fn = functools.partial(roi_max_pool, out_size=out_size, spatial_scale=spatial_scale)
+    return jax.vmap(fn)(feat, rois)
+
+
+def roi_max_pool_oracle_numpy(feat, rois, out_size=7, spatial_scale=1.0 / 16.0):
+    """Literal-loop numpy oracle of the Caffe ROIPooling forward (test use)."""
+    import math
+    import numpy as np
+
+    feat = np.asarray(feat)
+    rois = np.asarray(rois, dtype=np.float64)
+    h, w, c = feat.shape
+    r = rois.shape[0]
+    out = np.zeros((r, out_size, out_size, c), dtype=feat.dtype)
+
+    def rnd(x):
+        return math.floor(abs(x) + 0.5) * (1 if x >= 0 else -1)
+
+    for i in range(r):
+        sw, sh = rnd(rois[i, 0] * spatial_scale), rnd(rois[i, 1] * spatial_scale)
+        ew, eh = rnd(rois[i, 2] * spatial_scale), rnd(rois[i, 3] * spatial_scale)
+        rw = max(ew - sw + 1, 1)
+        rh = max(eh - sh + 1, 1)
+        bw, bh = rw / out_size, rh / out_size
+        for ph in range(out_size):
+            for pw in range(out_size):
+                hs = min(max(int(math.floor(ph * bh)) + sh, 0), h)
+                he = min(max(int(math.ceil((ph + 1) * bh)) + sh, 0), h)
+                ws = min(max(int(math.floor(pw * bw)) + sw, 0), w)
+                we = min(max(int(math.ceil((pw + 1) * bw)) + sw, 0), w)
+                if he <= hs or we <= ws:
+                    continue
+                out[i, ph, pw] = feat[hs:he, ws:we].reshape(-1, c).max(axis=0)
+    return out
