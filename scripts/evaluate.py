@@ -1,0 +1,130 @@
+#!/usr/bin/env python
+"""VOC detection evaluation (SURVEY.md §4.5) — batched padded inference +
+VOC07 11-point mAP, the release-gate metric (BASELINE.json).
+
+    python scripts/evaluate.py --dataset_root /path/VOC2007 --split test \
+        --pretrained_model weights.npz --batch_size 8
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit("/scripts/", 1)[0])
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--dataset", default="voc", choices=["voc", "synthetic"])
+    ap.add_argument("--dataset_root", default=None)
+    ap.add_argument("--split", default="test")
+    ap.add_argument("--pretrained_model", default=None)
+    ap.add_argument("--checkpoint_dir", default=None,
+                    help="orbax dir to restore trained params from")
+    ap.add_argument("--batch_size", type=int, default=8)
+    ap.add_argument("--backbone", default="vgg16",
+                    choices=["vgg16", "resnet101"])
+    ap.add_argument("--use_07_metric", action="store_true", default=True)
+    ap.add_argument("--limit", type=int, default=None,
+                    help="evaluate only the first N images")
+    args = ap.parse_args()
+
+    import jax
+    import numpy as np
+
+    from trcnn.config import VOC_CLASSES, voc_config
+    from trcnn.data import DetectionLoader, SyntheticDetection, VOCDetection
+    from trcnn.eval.voc_ap import build_records, voc_mean_ap
+    from trcnn.models import make_model
+    from trcnn.train.step import make_detect_step, make_mesh
+
+    cfg = voc_config()
+    if args.backbone != "vgg16":
+        cfg = cfg.replace(backbone=args.backbone)
+
+    if args.dataset == "voc":
+        if not args.dataset_root:
+            ap.error("--dataset voc requires --dataset_root")
+        ds = VOCDetection(args.dataset_root, args.split, use_difficult=True)
+    else:
+        ds = SyntheticDetection(n=64, num_classes=cfg.num_classes)
+    if args.limit:
+        ds.ids = ds.ids[: args.limit] if hasattr(ds, "ids") else ds
+        if hasattr(ds, "n"):
+            ds.n = min(ds.n, args.limit)
+
+    model = make_model(cfg)
+    loader = DetectionLoader(ds, batch_size=args.batch_size,
+                             image_cfg=cfg.image)
+    first = next(iter(loader))
+    if args.pretrained_model:
+        from trcnn.convert import import_chainer_npz
+        params = import_chainer_npz(args.pretrained_model, cfg)
+    elif args.checkpoint_dir:
+        import orbax.checkpoint as ocp
+        from trcnn.train import TrainState, make_optimizer
+        import os
+        mgr = ocp.CheckpointManager(os.path.abspath(args.checkpoint_dir))
+        init_params = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                          np.asarray(first.images),
+                                          np.asarray(first.im_info))
+        tx = make_optimizer(init_params, cfg.optim, cfg.backbone)
+        tmpl = jax.tree.map(np.asarray, TrainState.create(init_params, tx))
+        restored = mgr.restore(mgr.latest_step(),
+                               args=ocp.args.StandardRestore(tmpl))
+        params = restored.params
+        print(f"restored step {mgr.latest_step()}")
+    else:
+        print("[warn] random init (smoke mode)", file=sys.stderr)
+        params = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                     np.asarray(first.images),
+                                     np.asarray(first.im_info))
+
+    mesh = make_mesh() if jax.device_count() > 1 else None
+    detect = make_detect_step(model, cfg, mesh)
+
+    detections, annotations = [], {}
+    n_img = 0
+    t_total = 0.0
+    seen = set()
+    for batch in loader:
+        t0 = time.time()
+        dets = jax.block_until_ready(
+            detect(params, batch.images, batch.im_info))
+        t_total += time.time() - t0
+        boxes = np.asarray(dets.boxes)
+        scores = np.asarray(dets.scores)
+        classes = np.asarray(dets.classes)
+        valid = np.asarray(dets.valid)
+        for i, iid in enumerate(batch.ids):
+            if iid in seen:  # padded duplicate in the final partial batch
+                continue
+            seen.add(iid)
+            v = valid[i]
+            detections.append({
+                "id": iid, "boxes": boxes[i, v], "scores": scores[i, v],
+                "classes": classes[i, v]})
+            n_img += 1
+
+    # gather annotations straight from the dataset (original image coords)
+    for idx in range(len(ds)):
+        ex = ds.get_example(idx)
+        annotations[ex["id"]] = {
+            "boxes": ex["boxes"], "labels": ex["labels"],
+            "difficult": ex.get("difficult",
+                                np.zeros(len(ex["labels"]), bool)),
+        }
+
+    records = build_records(VOC_CLASSES, detections, annotations)
+    mean_ap, aps = voc_mean_ap(records, use_07_metric=args.use_07_metric)
+    for name, ap_v in sorted(aps.items()):
+        print(f"  AP[{name:>12s}] = {ap_v:.4f}")
+    print(f"mAP = {mean_ap:.4f}  ({n_img} images, "
+          f"{n_img / max(t_total, 1e-9):.1f} img/s incl. compile)")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,11 +1,22 @@
-"""Test env: force CPU with 8 virtual devices (SURVEY.md §5.5) before jax import."""
+"""Test env: force CPU with 8 virtual devices (SURVEY.md §5.5).
+
+The environment's axon sitecustomize registers a remote-TPU backend and
+pins ``jax_platforms="axon,cpu"`` regardless of JAX_PLATFORMS, so the env
+var alone is not enough — the config must be updated after import (before
+any backend initialization).  Tests run on the 8-device virtual CPU mesh:
+deterministic, local, and exercises multi-device sharding.
+"""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

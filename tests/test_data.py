@@ -1,0 +1,98 @@
+"""Data-layer tests: preprocessing contract, VOC XML parsing, loader shapes."""
+
+import os
+import textwrap
+
+import numpy as np
+import pytest
+
+from trcnn.config import ImageConfig
+from trcnn.data import (DetectionLoader, SyntheticDetection, parse_voc_xml,
+                        preprocess_image)
+from trcnn.data.preprocess import compute_scale, scale_gt_boxes
+
+
+def test_compute_scale_600_1000_rule():
+    cfg = ImageConfig()
+    # 375x500 -> shorter side 375 scales to 600 (long side 800 <= 1000)
+    assert abs(compute_scale(375, 500, cfg) - 600.0 / 375.0) < 1e-9
+    # 400x1200: naive scale 1.5 -> long 1800 > 1000 -> capped at 1000/1200
+    assert abs(compute_scale(400, 1200, cfg) - 1000.0 / 1200.0) < 1e-9
+
+
+def test_preprocess_image_canvas_and_means():
+    cfg = ImageConfig()
+    img = np.full((375, 500, 3), 128, np.uint8)
+    canvas, info = preprocess_image(img, cfg)
+    assert canvas.shape == (cfg.pad_h, cfg.pad_w, 3)
+    sh, sw, scale = info
+    assert (int(sh), int(sw)) == (600, 800)
+    assert abs(scale - 1.6) < 1e-6
+    # interior = 128 - mean; outside = exactly 0
+    means = np.asarray(cfg.pixel_means_bgr, np.float32)
+    np.testing.assert_allclose(canvas[300, 400], 128.0 - means, atol=1e-3)
+    assert (canvas[int(sh):, :] == 0).all() and (canvas[:, int(sw):] == 0).all()
+
+
+def test_scale_gt_boxes_flip_convention():
+    boxes = np.asarray([[10.0, 20.0, 110.0, 80.0]])
+    out = scale_gt_boxes(boxes, 2.0, orig_w=500, flip=True)
+    # flip: x1' = 499 - 110 = 389, x2' = 499 - 10 = 489; then x2
+    np.testing.assert_allclose(out, [[778.0, 40.0, 978.0, 160.0]])
+
+
+def test_parse_voc_xml(tmp_path):
+    xml = textwrap.dedent("""\
+        <annotation>
+          <object><name>dog</name><difficult>0</difficult>
+            <bndbox><xmin>48</xmin><ymin>240</ymin><xmax>195</xmax><ymax>371</ymax></bndbox>
+          </object>
+          <object><name>person</name><difficult>1</difficult>
+            <bndbox><xmin>8</xmin><ymin>12</ymin><xmax>352</xmax><ymax>498</ymax></bndbox>
+          </object>
+        </annotation>""")
+    p = tmp_path / "a.xml"
+    p.write_text(xml)
+    boxes, labels, difficult = parse_voc_xml(str(p))
+    # difficult object skipped; 1-based -> 0-based
+    assert boxes.shape == (1, 4)
+    np.testing.assert_allclose(boxes[0], [47.0, 239.0, 194.0, 370.0])
+    assert labels[0] == 12  # dog
+    assert not difficult.any()
+    boxes2, labels2, diff2 = parse_voc_xml(str(p), use_difficult=True)
+    assert boxes2.shape == (2, 4) and labels2[1] == 15  # person
+    assert list(diff2) == [False, True]
+
+
+def test_loader_shapes_and_gt_scaling():
+    cfg = ImageConfig()
+    ds = SyntheticDetection(n=5, seed=3)
+    loader = DetectionLoader(ds, batch_size=2, max_boxes=8, image_cfg=cfg)
+    batches = list(loader)
+    # every example appears exactly once across batches (+ possible padding
+    # duplicates in flushed partial buckets)
+    ids = [i for b in batches for i in b.ids]
+    assert {f"syn{i:06d}" for i in range(5)} <= set(ids)
+    for b in batches:
+        # canvas is one of the two orientation buckets, uniform per batch
+        assert b.images.shape in ((2, cfg.pad_h, cfg.pad_w, 3),
+                                  (2, cfg.pad_w, cfg.pad_h, 3))
+        assert b.im_info.shape == (2, 3)
+        assert b.gt_boxes.shape == (2, 8, 4)
+        assert b.gt_valid.dtype == bool
+        for i in range(2):
+            v = b.gt_valid[i]
+            assert v.any()
+            assert b.gt_boxes[i, v, 2].max() <= b.im_info[i, 1] + 1e-3
+            assert b.gt_boxes[i, v, 3].max() <= b.im_info[i, 0] + 1e-3
+
+
+def test_loader_repeat_and_shuffle_determinism():
+    ds = SyntheticDetection(n=4, seed=0)
+    mk = lambda: DetectionLoader(ds, batch_size=2, max_boxes=8, shuffle=True,
+                                 repeat=True, seed=7, prefetch=0)
+    it1, it2 = iter(mk()), iter(mk())
+    for _ in range(4):
+        b1, b2 = next(it1), next(it2)
+        assert b1.ids == b2.ids
+        np.testing.assert_array_equal(b1.im_info, b2.im_info)

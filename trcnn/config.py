@@ -159,6 +159,8 @@ class FasterRCNNConfig:
 
     num_classes: int = len(VOC_CLASSES)
     backbone: str = "vgg16"  # or "resnet101"
+    head_hidden: int = 4096  # fc6/fc7 width (VGG head); small in unit tests
+    rpn_channels: int = 512  # RPN 3x3 conv width
     anchors: AnchorConfig = AnchorConfig()
     proposals: ProposalConfig = ProposalConfig()
     anchor_targets: AnchorTargetConfig = AnchorTargetConfig()

@@ -1,0 +1,152 @@
+"""Batching + prefetching host loader.
+
+The reference iterates batch=1 images through Chainer's iterator
+(SURVEY.md §4.2); the TPU rebuild batches padded canvases into fixed
+shapes and overlaps host preprocessing with device compute via a
+background-thread prefetcher (double buffering) — host stays out of the
+hot loop.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Dict, Iterator, NamedTuple, Optional, Sequence, Tuple
+
+import numpy as np
+
+from trcnn.config import ImageConfig
+from trcnn.data.preprocess import preprocess_image, scale_gt_boxes
+
+
+class Batch(NamedTuple):
+    images: np.ndarray     # (B, pad_h, pad_w, 3) float32 mean-subtracted BGR
+    im_info: np.ndarray    # (B, 3) (scaled_h, scaled_w, scale)
+    gt_boxes: np.ndarray   # (B, G, 4) float32 canvas coords
+    gt_labels: np.ndarray  # (B, G) int32
+    gt_valid: np.ndarray   # (B, G) bool
+    ids: tuple             # (B,) example ids (host-only metadata)
+
+
+class DetectionLoader:
+    """Shuffled, epoch-repeating, prefetching batch loader.
+
+    Args:
+      dataset: anything with __len__/get_example (VOCDetection protocol).
+      batch_size: images per batch (global batch; shard across devices
+        downstream).
+      max_boxes: static gt capacity per image (G).
+      augment: horizontal flip with p=0.5 (the reference's only
+        augmentation, SURVEY.md §8).
+      shuffle/seed, repeat: iteration behavior; prefetch: queue depth.
+    """
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int = 1,
+        max_boxes: int = 64,
+        image_cfg: ImageConfig = ImageConfig(),
+        augment: bool = False,
+        shuffle: bool = False,
+        repeat: bool = False,
+        seed: int = 0,
+        prefetch: int = 2,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.max_boxes = max_boxes
+        self.image_cfg = image_cfg
+        self.augment = augment
+        self.shuffle = shuffle
+        self.repeat = repeat
+        self.seed = seed
+        self.prefetch = prefetch
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        return (n + self.batch_size - 1) // self.batch_size
+
+    # ---- single example -> padded arrays --------------------------------
+
+    def _load(self, idx: int, rng: np.random.RandomState):
+        ex = self.dataset.get_example(idx)
+        flip = bool(self.augment and rng.rand() < 0.5)
+        canvas, im_info = preprocess_image(ex["image"], self.image_cfg, flip)
+        g = self.max_boxes
+        boxes = np.zeros((g, 4), np.float32)
+        labels = np.zeros((g,), np.int32)
+        valid = np.zeros((g,), bool)
+        gt = scale_gt_boxes(ex["boxes"], float(im_info[2]),
+                            ex["image"].shape[1], flip)
+        k = min(len(gt), g)
+        if k:
+            boxes[:k] = gt[:k]
+            labels[:k] = ex["labels"][:k]
+            valid[:k] = True
+        return canvas, im_info, boxes, labels, valid, ex["id"]
+
+    def _make_batch(self, parts) -> Batch:
+        return Batch(
+            images=np.stack([p[0] for p in parts]),
+            im_info=np.stack([p[1] for p in parts]),
+            gt_boxes=np.stack([p[2] for p in parts]),
+            gt_labels=np.stack([p[3] for p in parts]),
+            gt_valid=np.stack([p[4] for p in parts]),
+            ids=tuple(p[5] for p in parts),
+        )
+
+    def _index_stream(self) -> Iterator[int]:
+        rng = np.random.RandomState(self.seed)
+        epoch = 0
+        while True:
+            order = np.arange(len(self.dataset))
+            if self.shuffle:
+                rng.shuffle(order)
+            yield from order
+            epoch += 1
+            if not self.repeat:
+                return
+
+    def _batches(self) -> Iterator[Batch]:
+        """Emit fixed-shape batches, grouping examples by canvas bucket
+        (landscape vs portrait orientation — images in one batch must share
+        one static shape; each bucket is one compiled graph)."""
+        rng = np.random.RandomState(self.seed + 1)
+        pending: Dict[Tuple[int, ...], list] = {}
+        for idx in self._index_stream():
+            part = self._load(idx, rng)
+            key = part[0].shape
+            bucket = pending.setdefault(key, [])
+            bucket.append(part)
+            if len(bucket) == self.batch_size:
+                yield self._make_batch(bucket)
+                pending[key] = []
+        if not self.repeat:
+            # flush partial buckets, padding by repeating the first example
+            for bucket in pending.values():
+                if bucket:
+                    bucket += [bucket[0]] * (self.batch_size - len(bucket))
+                    yield self._make_batch(bucket)
+
+    def __iter__(self) -> Iterator[Batch]:
+        if self.prefetch <= 0:
+            yield from self._batches()
+            return
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+
+        def worker():
+            try:
+                for b in self._batches():
+                    q.put(b)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                return
+            yield item

@@ -1,0 +1,300 @@
+"""Composite Faster R-CNN model: one jitted graph per phase.
+
+Rebuild of the reference's ``FasterRCNN(Chain)`` (SURVEY.md §3.1:
+``R:lib/models/faster_rcnn.py``) with the host/device ping-pong removed
+(SURVEY.md §2 "key architectural property"): backbone → RPN → proposal
+layer → RoI pooling → head — and, in training, the anchor/proposal target
+layers — all trace into a single XLA graph with static shapes.
+
+Public surface mirrors the reference's train/test duality:
+  * ``apply(..., method="detect")``   — image batch → raw per-RoI outputs
+    (the reference's test-mode ``(cls_prob, bbox_pred, rois)`` return),
+  * ``apply(..., method="losses")``   — image batch + gt → the four losses
+    (the reference's train-mode scalar loss),
+plus ``postprocess`` (decode + per-class NMS, the reference's forward.py
+epilogue) as a pure function so it can fuse into the same jit.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from trcnn.config import FasterRCNNConfig
+from trcnn.models.losses import masked_mean, smooth_l1, softmax_ce
+from trcnn.models.resnet import ResNet101C4, ResNetC5Head
+from trcnn.models.roi_head import VGG16RoIHead
+from trcnn.models.rpn import RPNHead, RPNOut
+from trcnn.models.vgg16 import VGG16
+from trcnn.ops.anchors import shifted_anchors
+from trcnn.ops.boxes import bbox_transform_inv, clip_boxes
+from trcnn.ops.nms import multiclass_nms
+from trcnn.ops.proposal import proposal_layer
+from trcnn.ops.roi_pool import roi_max_pool
+from trcnn.targets.anchor_targets import anchor_targets
+from trcnn.targets.proposal_targets import proposal_targets
+
+
+class RawDetections(NamedTuple):
+    """Per-RoI raw network outputs (reference test-mode return)."""
+
+    rois: jnp.ndarray        # (B, R, 4) proposal boxes, image coords
+    roi_valid: jnp.ndarray   # (B, R) bool
+    cls_prob: jnp.ndarray    # (B, R, C) softmax class probabilities
+    bbox_pred: jnp.ndarray   # (B, R, 4C) normalized per-class deltas
+
+
+class Detections(NamedTuple):
+    """Final post-processed detections (static capacity D per image)."""
+
+    boxes: jnp.ndarray       # (B, D, 4) in original-image coordinates
+    scores: jnp.ndarray      # (B, D)
+    classes: jnp.ndarray     # (B, D) int32 (1..C-1)
+    valid: jnp.ndarray       # (B, D) bool
+
+
+class FasterRCNN(nn.Module):
+    """Backbone + RPN + RoI head under one parameter tree.
+
+    ``cfg`` is a frozen dataclass (hashable) — safe as a static module
+    attribute.  ``cfg.backbone`` selects VGG-16 (7x7 RoI pool → fc head) or
+    ResNet-101-C4 (14x14 RoI pool → res5 head).
+    """
+
+    cfg: FasterRCNNConfig = FasterRCNNConfig()
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        if self.cfg.backbone == "vgg16":
+            self.extractor = VGG16(dtype=self.dtype)
+            self.head = VGG16RoIHead(num_classes=self.cfg.num_classes,
+                                     hidden=self.cfg.head_hidden,
+                                     dtype=self.dtype)
+            self.pool_size = self.cfg.roi.output_size          # 7
+        elif self.cfg.backbone == "resnet101":
+            self.extractor = ResNet101C4(dtype=self.dtype)
+            self.head = ResNetC5Head(num_classes=self.cfg.num_classes,
+                                     dtype=self.dtype)
+            self.pool_size = 2 * self.cfg.roi.output_size      # 14
+        else:
+            raise ValueError(f"unknown backbone {self.cfg.backbone!r}")
+        self.rpn = RPNHead(num_anchors=self.cfg.anchors.num_anchors,
+                           mid_channels=self.cfg.rpn_channels,
+                           dtype=self.dtype)
+
+    # ---- graph pieces ---------------------------------------------------
+
+    def features(self, images: jnp.ndarray) -> jnp.ndarray:
+        return self.extractor(images)
+
+    def rpn_out(self, feat: jnp.ndarray) -> RPNOut:
+        return self.rpn(feat)
+
+    def roi_forward(
+        self, feat: jnp.ndarray, rois: jnp.ndarray, deterministic: bool = True
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """RoI pool + head over a batch: feat (B,fh,fw,C), rois (B,R,4).
+
+        Returns (cls_score (B,R,C), bbox_pred (B,R,4C)).  The pooled crops
+        of all images are flattened into one (B·R, ...) head batch so the
+        fc6 matmul hits the MXU at full tile occupancy.
+        """
+        b, r = rois.shape[:2]
+        pool = functools.partial(
+            roi_max_pool,
+            out_size=self.pool_size,
+            spatial_scale=self.cfg.roi.spatial_scale,
+        )
+        pooled = jax.vmap(pool)(feat.astype(jnp.float32), rois)
+        flat = pooled.reshape((b * r,) + pooled.shape[2:])
+        cls_score, bbox_pred = self.head(flat, deterministic=deterministic)
+        return (cls_score.reshape(b, r, -1), bbox_pred.reshape(b, r, -1))
+
+    # ---- inference ------------------------------------------------------
+
+    def detect(self, images: jnp.ndarray, im_info: jnp.ndarray) -> RawDetections:
+        """Full test-mode forward for a padded image batch.
+
+        Args:
+          images: (B, H, W, 3) mean-subtracted BGR, zero-padded canvas.
+          im_info: (B, 3) rows (scaled_h, scaled_w, im_scale).
+        """
+        feat = self.extractor(images)
+        rpnout = self.rpn(feat)
+
+        prop = functools.partial(
+            proposal_layer,
+            train=False,
+            anchor_cfg=self.cfg.anchors,
+            cfg=self.cfg.proposals,
+        )
+        props = jax.vmap(
+            lambda p, d, info: prop(p, d, info[0], info[1], info[2])
+        )(rpnout.fg_probs, rpnout.deltas, im_info)
+
+        cls_score, bbox_pred = self.roi_forward(
+            feat, props.rois, deterministic=True)
+        cls_prob = jax.nn.softmax(cls_score, axis=-1)
+        return RawDetections(
+            rois=props.rois,
+            roi_valid=props.valid,
+            cls_prob=cls_prob,
+            bbox_pred=bbox_pred,
+        )
+
+    # ---- training -------------------------------------------------------
+
+    def losses(
+        self,
+        images: jnp.ndarray,
+        im_info: jnp.ndarray,
+        gt_boxes: jnp.ndarray,
+        gt_labels: jnp.ndarray,
+        gt_valid: jnp.ndarray,
+    ) -> Dict[str, jnp.ndarray]:
+        """Train-mode forward: the four losses of approximate joint training
+        (SURVEY.md §4.2).  Needs rngs={'dropout','sampling'} in apply().
+
+        Args:
+          images: (B, H, W, 3) padded canvas batch.
+          im_info: (B, 3) (scaled_h, scaled_w, im_scale).
+          gt_boxes: (B, G, 4) scaled to canvas coords; gt_labels (B, G);
+          gt_valid: (B, G) bool.
+        """
+        cfg = self.cfg
+        b = images.shape[0]
+        feat = self.extractor(images)
+        rpnout = self.rpn(feat)
+        _, fh, fw, _ = feat.shape
+        a = cfg.anchors.num_anchors
+        n = fh * fw * a
+        anchors = shifted_anchors(fh, fw, cfg.anchors)
+
+        rng = self.make_rng("sampling")
+        rngs_at = jax.random.split(jax.random.fold_in(rng, 0), b)
+        rngs_pt = jax.random.split(jax.random.fold_in(rng, 1), b)
+
+        # ---- RPN losses -------------------------------------------------
+        at = jax.vmap(
+            lambda k, gtb, gtv, info: anchor_targets(
+                k, anchors, gtb, gtv, info[0], info[1], cfg=cfg.anchor_targets)
+        )(rngs_at, gt_boxes, gt_valid, im_info)
+
+        # logits (B,fh,fw,2,A) -> (B, N, 2) in anchor order (pos major, a minor)
+        logits = jnp.transpose(
+            rpnout.logits.reshape(b, fh * fw, 2, a), (0, 1, 3, 2)
+        ).reshape(b, n, 2)
+        deltas = rpnout.deltas.reshape(b, n, 4)
+
+        sampled = at.labels >= 0
+        denom = jnp.maximum(at.num_examples.astype(jnp.float32), 1.0)  # (B,)
+        ce = softmax_ce(logits, jnp.maximum(at.labels, 0))
+        rpn_cls_loss = jnp.mean(
+            jnp.sum(jnp.where(sampled, ce, 0.0), axis=1) / denom)
+
+        l1 = jnp.sum(
+            smooth_l1(deltas - at.bbox_targets, cfg.loss.rpn_smooth_l1_sigma),
+            axis=-1)
+        rpn_bbox_loss = jnp.mean(
+            jnp.sum(jnp.where(at.labels == 1, l1, 0.0), axis=1) / denom)
+
+        # ---- proposals + RoI sampling (no gradient through coords) ------
+        prop = functools.partial(
+            proposal_layer, train=True,
+            anchor_cfg=cfg.anchors, cfg=cfg.proposals)
+        props = jax.vmap(
+            lambda p, d, info: prop(p, d, info[0], info[1], info[2])
+        )(
+            jax.lax.stop_gradient(rpnout.fg_probs),
+            jax.lax.stop_gradient(rpnout.deltas),
+            im_info,
+        )
+        pt = jax.vmap(
+            lambda k, r, rv, gtb, gtl, gtv: proposal_targets(
+                k, r, rv, gtb, gtl, gtv, cfg=cfg.proposal_targets)
+        )(rngs_pt, props.rois, props.valid, gt_boxes, gt_labels, gt_valid)
+
+        # ---- head losses ------------------------------------------------
+        cls_score, bbox_pred = self.roi_forward(
+            feat, pt.rois, deterministic=False)
+        s = pt.labels.shape[1]
+        head_ce = softmax_ce(cls_score, pt.labels)
+        cls_loss = masked_mean(head_ce, pt.valid)
+
+        c = cfg.num_classes
+        pred_by_class = bbox_pred.reshape(b, s, c, 4)
+        pred = jnp.take_along_axis(
+            pred_by_class, pt.labels[..., None, None].astype(jnp.int32), axis=2
+        )[:, :, 0, :]                                            # (B, S, 4)
+        head_l1 = jnp.sum(
+            smooth_l1(pred - pt.bbox_targets, cfg.loss.head_smooth_l1_sigma),
+            axis=-1)
+        # Caffe SmoothL1Loss normalizes by the RoI blob size (B·S)
+        bbox_loss = masked_mean(
+            head_l1, pt.is_fg,
+            denom=jnp.asarray(b * s, jnp.float32))
+
+        total = rpn_cls_loss + rpn_bbox_loss + cls_loss + bbox_loss
+        return {
+            "loss": total,
+            "rpn_cls_loss": rpn_cls_loss,
+            "rpn_bbox_loss": rpn_bbox_loss,
+            "cls_loss": cls_loss,
+            "bbox_loss": bbox_loss,
+            "num_fg_anchors": jnp.mean(at.num_fg.astype(jnp.float32)),
+            "num_fg_rois": jnp.mean(pt.num_fg.astype(jnp.float32)),
+        }
+
+    # default entry point (used for init / shape inference)
+    def __call__(self, images: jnp.ndarray, im_info: jnp.ndarray) -> RawDetections:
+        return self.detect(images, im_info)
+
+
+def postprocess(
+    raw: RawDetections,
+    im_info: jnp.ndarray,
+    cfg: FasterRCNNConfig,
+    score_thresh: Optional[float] = None,
+    nms_tile: int = 128,
+) -> Detections:
+    """Decode class-specific boxes, clip, per-class NMS, merge — the
+    reference's forward.py epilogue (SURVEY.md §4.1), batched and on device.
+
+    bbox_pred is in the *normalized* delta convention (see trcnn/convert):
+    deltas are multiplied by the target stds / shifted by the means before
+    decoding.  Output boxes are divided by im_scale — original image coords.
+    """
+    t = cfg.test
+    if score_thresh is None:
+        score_thresh = t.score_thresh_eval
+    stds = jnp.tile(jnp.asarray(cfg.proposal_targets.bbox_normalize_stds,
+                                jnp.float32), cfg.num_classes)
+    means = jnp.tile(jnp.asarray(cfg.proposal_targets.bbox_normalize_means,
+                                 jnp.float32), cfg.num_classes)
+
+    def per_image(rois, roi_valid, cls_prob, bbox_pred, info):
+        deltas = bbox_pred * stds + means
+        boxes = bbox_transform_inv(rois, deltas)          # (R, 4C)
+        boxes = clip_boxes(boxes, info[0], info[1])
+        boxes = boxes.reshape(boxes.shape[0], cfg.num_classes, 4)
+        det_boxes, det_scores, det_classes, det_valid = multiclass_nms(
+            boxes, cls_prob, roi_valid,
+            t.nms_thresh, score_thresh,
+            max_per_class=t.max_dets_per_class,
+            max_total=t.max_dets_per_image,
+            tile=nms_tile,
+        )
+        return det_boxes / info[2], det_scores, det_classes, det_valid
+
+    boxes, scores, classes, valid = jax.vmap(per_image)(
+        raw.rois, raw.roi_valid, raw.cls_prob, raw.bbox_pred, im_info)
+    return Detections(boxes=boxes, scores=scores, classes=classes, valid=valid)
+
+
+def make_model(cfg: FasterRCNNConfig = FasterRCNNConfig(),
+               dtype: Any = jnp.float32) -> FasterRCNN:
+    return FasterRCNN(cfg=cfg, dtype=dtype)

@@ -1,0 +1,65 @@
+"""VGG-16 convolutional trunk.
+
+TPU-native rebuild of the reference's VGG16 chain (SURVEY.md §3.1:
+``R:lib/models/vgg16.py`` — 13 conv layers, 4 max-pools, feature stride 16,
+512-channel conv5_3 output; conv1_1–conv2_2 frozen during training).
+
+Differences from the Chainer original, by design:
+  * NHWC layout (TPU conv-friendly) instead of NCHW.
+  * Optional bfloat16 compute (params stay fp32; matmuls/convs run on the
+    MXU in bf16 with fp32 accumulation).
+  * Freezing is not baked into the graph — the train step applies a
+    gradient mask over the frozen parameter subtree (see
+    trcnn/train/optim.py), which is the functional-JAX idiom.
+
+Parameter names mirror the Caffe/Chainer link names (conv1_1 … conv5_3) so
+the weight importer (trcnn/convert) is a pure key-mapping.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+# (block, convs-in-block, channels); pool follows each block except the last
+# block's pool which Faster R-CNN omits (stride stays 16).
+VGG_CFG: Tuple[Tuple[str, int, int], ...] = (
+    ("conv1", 2, 64),
+    ("conv2", 2, 128),
+    ("conv3", 3, 256),
+    ("conv4", 3, 512),
+    ("conv5", 3, 512),
+)
+
+# Parameter subtrees frozen during detection training (SURVEY.md §8).
+FROZEN_PREFIXES: Tuple[str, ...] = ("conv1_1", "conv1_2", "conv2_1", "conv2_2")
+
+
+class VGG16(nn.Module):
+    """13-conv VGG-16 trunk; returns stride-16 conv5_3 features.
+
+    Input (B, H, W, 3) float; H and W must be multiples of 16 (the padded
+    canvas guarantees this).  Output (B, H/16, W/16, 512).
+    """
+
+    dtype: Any = jnp.float32  # compute dtype; use jnp.bfloat16 on TPU
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = x.astype(self.dtype)
+        for bi, (name, n_convs, ch) in enumerate(VGG_CFG):
+            for ci in range(n_convs):
+                x = nn.Conv(
+                    ch,
+                    (3, 3),
+                    padding="SAME",
+                    dtype=self.dtype,
+                    param_dtype=jnp.float32,
+                    name=f"{name}_{ci + 1}",
+                )(x)
+                x = nn.relu(x)
+            if bi < len(VGG_CFG) - 1:  # no pool after conv5 block
+                x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        return x

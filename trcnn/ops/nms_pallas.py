@@ -1,0 +1,181 @@
+"""Pallas TPU kernel for fixed-shape greedy NMS.
+
+TPU-native replacement for the reference's CUDA ``nms_kernel.cu`` 64-box
+bitmask-tile design (SURVEY.md §3.3).  Same greedy semantics as
+``trcnn.ops.nms.nms_padded`` (the portable XLA spec, oracle-tested); this
+kernel keeps the whole suppression state in VMEM and walks score-ordered
+tiles of T boxes:
+
+  * per tile: a short sequential pass resolves suppression *within* the
+    tile via a T×T IoU matrix (VPU), then one dense (N×T) IoU computation
+    suppresses all later boxes against the tile's survivors;
+  * box coordinates are pre-split into per-coordinate (1, N) rows so every
+    IoU is pure 8×128-lane VPU math — no gathers, no (N, 4) layout
+    transposes inside the loop;
+  * the sequential dependency is O(T) per tile instead of O(N) total: the
+    CUDA kernel's bitmask reduction maps onto the suppression-row sweep.
+
+The input sort and the output compaction (top-k over kept positions) stay
+in XLA where they are already optimal; the kernel does the O(N²) IoU work,
+which is the hot part.
+
+``nms_padded_pallas`` matches ``nms_padded``'s signature/return exactly
+and is the drop-in used by the proposal layer on TPU (interpret=True runs
+it on CPU in CI — SURVEY.md §6.2 sanitizer path).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = jnp.float32(-jnp.inf)
+
+
+def _suppression_kernel(x1_ref, y1_ref, x2_ref, y2_ref, valid_ref,
+                        thresh_ref, keep_ref, *, tile: int):
+    """Computes keep mask (1, N) int32 for score-sorted boxes.
+
+    Refs hold (1, N) rows in VMEM (coordinates pre-masked so padding rows
+    never suppress anything); thresh in SMEM.
+    """
+    n = x1_ref.shape[1]
+    num_tiles = n // tile
+    thresh = thresh_ref[0]
+
+    x1 = x1_ref[:]            # (1, N)
+    y1 = y1_ref[:]
+    x2 = x2_ref[:]
+    y2 = y2_ref[:]
+    area = (x2 - x1 + 1.0) * (y2 - y1 + 1.0)
+
+    pos = lax.broadcasted_iota(jnp.int32, (1, n), 1)
+
+    # suppressed state lives in the output ref; start = ~valid
+    keep_ref[:] = valid_ref[:]
+
+    def iou_vs_tile(tx1, ty1, tx2, ty2, tarea):
+        """IoU of every box (1, N) against the tile's boxes (T, 1) →
+        (T, N) matrix, all VPU broadcasts."""
+        xx1 = jnp.maximum(tx1, x1)            # (T, N)
+        yy1 = jnp.maximum(ty1, y1)
+        xx2 = jnp.minimum(tx2, x2)
+        yy2 = jnp.minimum(ty2, y2)
+        w = jnp.maximum(xx2 - xx1 + 1.0, 0.0)
+        h = jnp.maximum(yy2 - yy1 + 1.0, 0.0)
+        inter = w * h
+        union = tarea + area - inter
+        return inter / union                   # union > 0: valid boxes only
+
+    def tile_body(t, _):
+        start = t * tile
+        # tile coordinate columns: (T, 1)
+        tx1 = x1_ref[0, pl.ds(start, tile)].reshape(tile, 1)
+        ty1 = y1_ref[0, pl.ds(start, tile)].reshape(tile, 1)
+        tx2 = x2_ref[0, pl.ds(start, tile)].reshape(tile, 1)
+        ty2 = y2_ref[0, pl.ds(start, tile)].reshape(tile, 1)
+        tarea = (tx2 - tx1 + 1.0) * (ty2 - ty1 + 1.0)
+
+        over = iou_vs_tile(tx1, ty1, tx2, ty2, tarea) > thresh  # (T, N)
+
+        keep_row = keep_ref[0, pl.ds(start, tile)].reshape(tile, 1)  # (T, 1)
+        row_ids = lax.broadcasted_iota(jnp.int32, (tile, tile), 0)
+        col_ids = lax.broadcasted_iota(jnp.int32, (tile, tile), 1)
+        # tile-vs-tile IoU from the tile coords directly ((T,1) vs (1,T)
+        # broadcasts — pallas TPU cannot dynamic_slice the (T, N) matrix)
+        uxx1 = jnp.maximum(tx1, tx1.reshape(1, tile))
+        uyy1 = jnp.maximum(ty1, ty1.reshape(1, tile))
+        uxx2 = jnp.minimum(tx2, tx2.reshape(1, tile))
+        uyy2 = jnp.minimum(ty2, ty2.reshape(1, tile))
+        uw = jnp.maximum(uxx2 - uxx1 + 1.0, 0.0)
+        uh = jnp.maximum(uyy2 - uyy1 + 1.0, 0.0)
+        uinter = uw * uh
+        over_tt = uinter / (tarea + tarea.reshape(1, tile) - uinter) > thresh
+        upper = (col_ids > row_ids) & over_tt  # row r suppresses col c>r
+
+        sel = lax.broadcasted_iota(jnp.int32, (tile, 1), 0)  # (T, 1)
+
+        def row_body(r, keep_col):
+            # keep_col: (T, 1) current keep state within the tile.
+            # Row r is selected with a one-hot mask — indexing a traced r
+            # into a value is a dynamic_slice, which pallas TPU can't lower.
+            is_r = sel == r                                    # (T, 1)
+            kept_r = jnp.any(keep_col & is_r)                  # scalar
+            kill = jnp.any(upper & is_r, axis=0).reshape(tile, 1)
+            return keep_col & ~(kill & kept_r)
+
+        keep_row = lax.fori_loop(0, tile, row_body, keep_row)
+
+        # cross-tile: tile survivors kill every later box
+        killed = jnp.any(over & keep_row, axis=0, keepdims=True)  # (1, N)
+        later = pos >= start + tile
+        keep_all = keep_ref[:]
+        keep_all = keep_all & ~(killed & later)
+        keep_ref[:] = keep_all
+        keep_ref[0, pl.ds(start, tile)] = keep_row.reshape(tile)
+        return 0
+
+    lax.fori_loop(0, num_tiles, tile_body, 0)
+
+
+def _pad_to_multiple(x, multiple, value):
+    n = x.shape[0]
+    pad = (-n) % multiple
+    if pad == 0:
+        return x
+    return jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1),
+                   constant_values=value)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("max_out", "tile", "interpret"))
+def nms_padded_pallas(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    valid: jnp.ndarray,
+    iou_thresh,
+    max_out: int,
+    tile: int = 128,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Drop-in Pallas variant of ``trcnn.ops.nms.nms_padded``."""
+    n_in = boxes.shape[0]
+    masked = jnp.where(valid, scores.astype(jnp.float32), _NEG_INF)
+    sorted_scores, order = lax.top_k(masked, n_in)
+    sboxes = jnp.take(boxes, order, axis=0).astype(jnp.float32)
+    svalid = sorted_scores > _NEG_INF
+
+    sboxes = _pad_to_multiple(sboxes, tile, 0.0)
+    svalid = _pad_to_multiple(svalid, tile, False)
+    n = sboxes.shape[0]
+
+    # push padding boxes far away so they never overlap real ones
+    far = jnp.where(svalid, 0.0, -1e8)
+    x1 = (sboxes[:, 0] + far).reshape(1, n)
+    y1 = (sboxes[:, 1] + far).reshape(1, n)
+    x2 = (sboxes[:, 2] + far).reshape(1, n)
+    y2 = (sboxes[:, 3] + far).reshape(1, n)
+
+    keep = pl.pallas_call(
+        functools.partial(_suppression_kernel, tile=tile),
+        out_shape=jax.ShapeDtypeStruct((1, n), jnp.bool_),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(x1, y1, x2, y2, svalid.reshape(1, n),
+      jnp.asarray([iou_thresh], jnp.float32))[0]
+
+    pos = jnp.arange(n, dtype=jnp.int32)
+    sel_key = jnp.where(keep, pos, n)
+    neg_vals, _ = lax.top_k(-sel_key, max_out)
+    keep_valid = neg_vals > -n
+    keep_idx = jnp.take(order, (-neg_vals).astype(jnp.int32) % n_in, axis=0)
+    keep_idx = jnp.where(keep_valid, keep_idx, 0).astype(jnp.int32)
+    return keep_idx, keep_valid

@@ -1,0 +1,91 @@
+"""Optimizer: MomentumSGD with Caffe parameter-group semantics.
+
+SURVEY.md §8 "Optimizer": lr 1e-3, momentum 0.9, weight decay 5e-4, ×0.1
+at 50k iters, 70k total, plus the py-faster-rcnn/Caffe per-parameter rules
+the Chainer reference inherits:
+
+  * biases train at 2× the learning rate and take no weight decay
+    (Caffe ``lr_mult: 2, decay_mult: 0`` on every bias blob);
+  * conv1_1–conv2_2 of VGG-16 are frozen (SURVEY.md §8 "Heads init");
+    for ResNet-101, conv1 + res2 + every FrozenBatchNorm subtree freeze
+    (Detectron lineage).
+
+Freezing is a hard zero-gradient mask (optax.masked set_to_zero), the
+functional-JAX equivalent of the reference's per-link ``disable_update``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict
+
+import jax
+import optax
+
+from trcnn.config import OptimConfig
+from trcnn.models.vgg16 import FROZEN_PREFIXES as VGG_FROZEN
+
+RESNET_FROZEN_PREFIXES = ("conv1", "bn1", "res2")
+
+
+def _path_names(path) -> list:
+    return [getattr(k, "key", getattr(k, "idx", None)) for k in path]
+
+
+def frozen_mask(params, backbone: str = "vgg16") -> Any:
+    """True for every leaf whose update must be zeroed (frozen)."""
+    if backbone == "vgg16":
+        prefixes = VGG_FROZEN
+        freeze_bn = False
+    else:
+        prefixes = RESNET_FROZEN_PREFIXES
+        freeze_bn = True
+
+    def is_frozen(path, _leaf) -> bool:
+        names = _path_names(path)
+        in_extractor = "extractor" in names
+        if in_extractor:
+            i = names.index("extractor")
+            sub = names[i + 1:]
+            if sub and any(str(sub[0]).startswith(p) for p in prefixes):
+                return True
+        if freeze_bn and any("bn" in str(n) for n in names if n is not None):
+            return True
+        return False
+
+    return jax.tree_util.tree_map_with_path(is_frozen, params)
+
+
+def bias_mask(params) -> Any:
+    """True for bias-like leaves (rank ≤ 1): Caffe's 2×-lr / no-decay group."""
+    return jax.tree.map(lambda x: x.ndim <= 1, params)
+
+
+def make_schedule(cfg: OptimConfig) -> optax.Schedule:
+    return optax.piecewise_constant_schedule(
+        cfg.base_lr, {cfg.lr_decay_step: cfg.lr_decay_factor})
+
+
+def make_optimizer(
+    params,
+    cfg: OptimConfig = OptimConfig(),
+    backbone: str = "vgg16",
+) -> optax.GradientTransformation:
+    """The full update rule.  Order matters:
+    weight-decay (weights only) → momentum → lr schedule (2× on biases) →
+    freeze mask."""
+    biases = bias_mask(params)
+    weights = jax.tree.map(lambda b: not b, biases)
+    frozen = frozen_mask(params, backbone)
+    trainable = jax.tree.map(lambda f: not f, frozen)
+
+    schedule = make_schedule(cfg)
+    bias_schedule = lambda step: 2.0 * schedule(step)
+
+    tx = optax.chain(
+        optax.masked(optax.add_decayed_weights(cfg.weight_decay), weights),
+        optax.trace(decay=cfg.momentum, nesterov=False),
+        optax.masked(optax.scale_by_learning_rate(schedule), weights),
+        optax.masked(optax.scale_by_learning_rate(bias_schedule), biases),
+        optax.masked(optax.set_to_zero(), frozen),
+    )
+    return tx

@@ -1,0 +1,142 @@
+"""Training loop with checkpointing, metrics, and auto-resume.
+
+Rebuild of the reference's Chainer ``Trainer`` + extensions stack
+(SURVEY.md §6.4–6.5): LogReport/PrintReport → stdout JSON-lines + optional
+clu metric writers; ``snapshot``/``--resume`` → orbax checkpoints of
+{params, opt_state, step} with keep-N retention and
+resume-from-latest-on-restart (the failure-recovery plan of SURVEY.md
+§6.3).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from typing import Any, Callable, Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from trcnn.config import FasterRCNNConfig
+from trcnn.train.optim import make_optimizer
+from trcnn.train.step import (TrainState, device_batch, make_mesh,
+                              make_train_step, replicated)
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    total_iters: Optional[int] = None   # default: cfg.optim.total_iters
+    log_every: int = 20
+    checkpoint_every: int = 5000
+    checkpoint_dir: Optional[str] = None
+    keep_checkpoints: int = 5
+    seed: int = 0
+    use_mesh: bool = True               # shard batch over all local devices
+    metric_writer: Optional[Any] = None  # clu metric_writers instance
+
+
+class Trainer:
+    """Drives (loader → device → train_step) with snapshots and logging."""
+
+    def __init__(self, model, params, cfg: FasterRCNNConfig,
+                 tcfg: TrainConfig = TrainConfig()):
+        self.model = model
+        self.cfg = cfg
+        self.tcfg = tcfg
+        self.mesh = make_mesh() if tcfg.use_mesh else None
+        self.tx = make_optimizer(params, cfg.optim, backbone=cfg.backbone)
+        if self.mesh is not None:
+            self.state = TrainState.create_sharded(params, self.tx, self.mesh)
+        else:
+            self.state = TrainState.create(params, self.tx)
+        self.step_fn = make_train_step(self.model, self.tx, self.mesh)
+        self.rng = jax.random.PRNGKey(tcfg.seed)
+
+        self._ckpt_mgr = None
+        if tcfg.checkpoint_dir:
+            import orbax.checkpoint as ocp
+
+            self._ckpt_mgr = ocp.CheckpointManager(
+                os.path.abspath(tcfg.checkpoint_dir),
+                options=ocp.CheckpointManagerOptions(
+                    max_to_keep=tcfg.keep_checkpoints,
+                    create=True,
+                ),
+            )
+            self.maybe_restore()
+
+    # ---- checkpointing --------------------------------------------------
+
+    def save(self, wait: bool = False) -> None:
+        if self._ckpt_mgr is None:
+            return
+        import orbax.checkpoint as ocp
+
+        self._ckpt_mgr.save(
+            int(self.state.step),
+            args=ocp.args.StandardSave(jax.tree.map(np.asarray, self.state)),
+        )
+        if wait:
+            self._ckpt_mgr.wait_until_finished()
+
+    def maybe_restore(self) -> bool:
+        """Resume from the latest checkpoint if one exists."""
+        if self._ckpt_mgr is None:
+            return False
+        latest = self._ckpt_mgr.latest_step()
+        if latest is None:
+            return False
+        import orbax.checkpoint as ocp
+
+        restored = self._ckpt_mgr.restore(
+            latest, args=ocp.args.StandardRestore(
+                jax.tree.map(np.asarray, self.state)))
+        self.state = jax.tree.map(jnp.asarray, restored)
+        if self.mesh is not None:
+            self.state = jax.device_put(self.state, replicated(self.mesh))
+        print(f"[trainer] resumed from checkpoint at step {latest}", flush=True)
+        return True
+
+    # ---- loop -----------------------------------------------------------
+
+    def fit(self, batches: Iterable,
+            hooks: Optional[Dict[int, Callable]] = None) -> TrainState:
+        """Run up to total_iters steps over an (infinite) batch iterator."""
+        total = self.tcfg.total_iters or self.cfg.optim.total_iters
+        log_every = self.tcfg.log_every
+        t0 = time.time()
+        imgs_since = 0
+        start_step = int(self.state.step)
+
+        for batch in batches:
+            step = int(self.state.step)
+            if step >= total:
+                break
+            db = device_batch(batch, self.mesh)
+            self.state, metrics = self.step_fn(self.state, db, self.rng)
+            imgs_since += batch.images.shape[0]
+            step += 1
+
+            if step % log_every == 0 or step == total:
+                metrics = {k: float(v) for k, v in metrics.items()}
+                dt = time.time() - t0
+                rec = {
+                    "step": step,
+                    "imgs_per_sec": round(imgs_since / max(dt, 1e-9), 2),
+                    **{k: round(v, 5) for k, v in metrics.items()},
+                }
+                print(json.dumps(rec), flush=True)
+                if self.tcfg.metric_writer is not None:
+                    self.tcfg.metric_writer.write_scalars(step, metrics)
+                t0, imgs_since = time.time(), 0
+
+            if self.tcfg.checkpoint_every and step % self.tcfg.checkpoint_every == 0:
+                self.save()
+            if hooks and step in hooks:
+                hooks[step](self)
+
+        self.save(wait=True)
+        return self.state
