@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""Whole-graph op-level profile via jax.profiler + xplane parsing.
+
+One compile of the full detect graph, a few traced steps, then the
+per-op device times from the trace — attributable hot-spot list without
+compiling each stage separately (remote compiles are expensive in this
+environment).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import sys
+
+sys.path.insert(0, __file__.rsplit("/benchmarks/", 1)[0])
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch_size", type=int, default=8)
+    ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--logdir", default="/tmp/trcnn_trace")
+    ap.add_argument("--top", type=int, default=25)
+    args = ap.parse_args()
+
+    from trcnn.config import voc_config
+    from trcnn.models import make_model
+    from trcnn.models.faster_rcnn import postprocess
+
+    cfg = voc_config()
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    model = make_model(cfg, dtype=dtype)
+    b, h, w = args.batch_size, cfg.image.pad_h, cfg.image.pad_w
+    rng = jax.random.PRNGKey(0)
+    images = jax.random.normal(rng, (b, h, w, 3), jnp.float32) * 30.0
+    im_info = jnp.tile(jnp.asarray([[600.0, 1000.0, 1.6]], jnp.float32), (b, 1))
+    params = jax.jit(model.init)(rng, images, im_info)
+
+    full = jax.jit(lambda p, x, i: postprocess(
+        model.apply(p, x, i, method="detect"), i, cfg))
+    jax.block_until_ready(full(params, images, im_info))
+    print("compiled; tracing...", flush=True)
+
+    with jax.profiler.trace(args.logdir):
+        for _ in range(3):
+            jax.block_until_ready(full(params, images, im_info))
+
+    xplanes = sorted(glob.glob(
+        args.logdir + "/plugins/profile/*/*.xplane.pb"))
+    print("xplane:", xplanes[-1], flush=True)
+    from tensorboard_plugin_profile.convert import raw_to_tool_data
+
+    data, _ = raw_to_tool_data.xspace_to_tool_data(
+        [xplanes[-1]], "framework_op_stats", {})
+    rows = json.loads(data) if isinstance(data, (str, bytes)) else data
+    # framework_op_stats returns gviz json; fall back to hlo stats text
+    print(type(rows))
+    out_path = "/tmp/op_stats.json"
+    with open(out_path, "w") as f:
+        f.write(data if isinstance(data, str) else str(data))
+    print("wrote", out_path)
+
+
+if __name__ == "__main__":
+    main()

@@ -88,12 +88,16 @@ void roi_max_pool(const float* feat, int h, int w, int c, const float* rois,
     int eh = rnd(rois[4 * i + 3] * spatial_scale);
     int rw = std::max(ew - sw + 1, 1);
     int rh = std::max(eh - sh + 1, 1);
+    // float32 bin arithmetic — matches the Caffe/Chainer GPU kernel, whose
+    // f32 quotient rounding decides ceil() at exact-multiple boundaries
+    float bw = (float)rw / (float)out_size;
+    float bh = (float)rh / (float)out_size;
     for (int ph = 0; ph < out_size; ++ph) {
-      int hs = std::min(std::max(sh + (ph * rh) / out_size, 0), h);
-      int he = std::min(std::max(sh + ((ph + 1) * rh + out_size - 1) / out_size, 0), h);
+      int hs = std::min(std::max(sh + (int)std::floor((float)ph * bh), 0), h);
+      int he = std::min(std::max(sh + (int)std::ceil((float)(ph + 1) * bh), 0), h);
       for (int pw = 0; pw < out_size; ++pw) {
-        int ws = std::min(std::max(sw + (pw * rw) / out_size, 0), w);
-        int we = std::min(std::max(sw + ((pw + 1) * rw + out_size - 1) / out_size, 0), w);
+        int ws = std::min(std::max(sw + (int)std::floor((float)pw * bw), 0), w);
+        int we = std::min(std::max(sw + (int)std::ceil((float)(pw + 1) * bw), 0), w);
         float* o = out + (((int64_t)i * out_size + ph) * out_size + pw) * c;
         if (he <= hs || we <= ws) {
           std::fill(o, o + c, 0.f);

@@ -102,14 +102,23 @@ class FasterRCNN(nn.Module):
         Returns (cls_score (B,R,C), bbox_pred (B,R,4C)).  The pooled crops
         of all images are flattened into one (B·R, ...) head batch so the
         fc6 matmul hits the MXU at full tile occupancy.
+
+        On TPU the pooling runs as the VMEM-resident Pallas kernel (the XLA
+        gather formulation moves ~28 GB/batch on the VGG config); the XLA
+        path serves CPU and stays the numerical spec.
         """
         b, r = rois.shape[:2]
-        pool = functools.partial(
-            roi_max_pool,
-            out_size=self.pool_size,
-            spatial_scale=self.cfg.roi.spatial_scale,
-        )
-        pooled = jax.vmap(pool)(feat.astype(jnp.float32), rois)
+        if jax.default_backend() == "cpu":
+            pool = functools.partial(
+                roi_max_pool,
+                out_size=self.pool_size,
+                spatial_scale=self.cfg.roi.spatial_scale,
+            )
+            pooled = jax.vmap(pool)(feat, rois)
+        else:
+            from trcnn.ops.roi_pool_pallas import roi_max_pool_pallas
+            pooled = roi_max_pool_pallas(
+                feat, rois, self.pool_size, self.cfg.roi.spatial_scale)
         flat = pooled.reshape((b * r,) + pooled.shape[2:])
         cls_score, bbox_pred = self.head(flat, deterministic=deterministic)
         return (cls_score.reshape(b, r, -1), bbox_pred.reshape(b, r, -1))

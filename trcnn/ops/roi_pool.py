@@ -22,6 +22,7 @@ fallback (BASELINE.json config 1 requires a CPU-runnable single-image path).
 from __future__ import annotations
 
 import functools
+from functools import lru_cache
 from typing import Tuple
 
 import jax
@@ -35,6 +36,20 @@ def _round_half_away(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.sign(x) * jnp.floor(jnp.abs(x) + 0.5)
 
 
+# static size of the IEEE-f32 division table: roi_h/roi_w after rounding
+# never exceeds the scaled image extent (<= 4096 feature cells covers any
+# realistic resolution)
+_DIV_TABLE_MAX = 4096
+
+
+@lru_cache(maxsize=None)
+def _f32_div_table_np(out_size: int):
+    import numpy as np
+
+    return (np.arange(_DIV_TABLE_MAX, dtype=np.float32) /
+            np.float32(out_size))
+
+
 def roi_bin_bounds(
     rois: jnp.ndarray, spatial_scale: float, out_size: int, feat_h: int, feat_w: int
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
@@ -42,6 +57,16 @@ def roi_bin_bounds(
 
     Returns (hstart, hend, wstart, wend), each (R, out) int32, clipped to the
     feature extent. ``hend``/``wend`` are exclusive.
+
+    Bin arithmetic follows the Caffe/Chainer *GPU kernel* exactly: the bin
+    size is the IEEE-float32 quotient ``roi_h / out_size`` and boundaries
+    are floor/ceil of float32 products.  The f32 rounding error of the
+    quotient decides ceil() at exact-multiple boundaries (e.g. roi_h=29,
+    out=7: fl(29/7)*7 = 29.0000002 → ceil 30, not 29), so exact integer
+    math would deviate per-box from the reference.  XLA's own f32 division
+    (reciprocal multiply on TPU) is not correctly rounded either, so the
+    quotient comes from a host-computed IEEE table indexed by roi size;
+    the products are plain f32 multiplies (exact on TPU).
     """
     start_w = _round_half_away(rois[:, 0] * spatial_scale).astype(jnp.int32)
     start_h = _round_half_away(rois[:, 1] * spatial_scale).astype(jnp.int32)
@@ -50,15 +75,15 @@ def roi_bin_bounds(
     roi_w = jnp.maximum(end_w - start_w + 1, 1)
     roi_h = jnp.maximum(end_h - start_h + 1, 1)
 
-    # Bin boundaries in exact integer arithmetic.  floor(p*rh/out) and
-    # ceil((p+1)*rh/out) on integer rh are integer div / round-up div —
-    # float division here is NOT exact (XLA lowers x/y to reciprocal
-    # multiply, which flips ceil() at exact bin boundaries).
-    p = jnp.arange(out_size, dtype=jnp.int32)
-    hstart = (p[None, :] * roi_h[:, None]) // out_size + start_h[:, None]
-    hend = ((p[None, :] + 1) * roi_h[:, None] + out_size - 1) // out_size + start_h[:, None]
-    wstart = (p[None, :] * roi_w[:, None]) // out_size + start_w[:, None]
-    wend = ((p[None, :] + 1) * roi_w[:, None] + out_size - 1) // out_size + start_w[:, None]
+    table = jnp.asarray(_f32_div_table_np(out_size))
+    bin_h = jnp.take(table, jnp.clip(roi_h, 0, _DIV_TABLE_MAX - 1))  # (R,)
+    bin_w = jnp.take(table, jnp.clip(roi_w, 0, _DIV_TABLE_MAX - 1))
+
+    p = jnp.arange(out_size, dtype=jnp.float32)
+    hstart = jnp.floor(p[None, :] * bin_h[:, None]).astype(jnp.int32) + start_h[:, None]
+    hend = jnp.ceil((p[None, :] + 1.0) * bin_h[:, None]).astype(jnp.int32) + start_h[:, None]
+    wstart = jnp.floor(p[None, :] * bin_w[:, None]).astype(jnp.int32) + start_w[:, None]
+    wend = jnp.ceil((p[None, :] + 1.0) * bin_w[:, None]).astype(jnp.int32) + start_w[:, None]
 
     hstart = jnp.clip(hstart, 0, feat_h)
     hend = jnp.clip(hend, 0, feat_h)
@@ -136,7 +161,15 @@ def roi_max_pool_batched(feat: jnp.ndarray, rois: jnp.ndarray,
 
 
 def roi_max_pool_oracle_numpy(feat, rois, out_size=7, spatial_scale=1.0 / 16.0):
-    """Literal-loop numpy oracle of the Caffe ROIPooling forward (test use)."""
+    """Literal-loop numpy oracle of the Caffe ROIPooling forward (test use).
+
+    Bin arithmetic in IEEE float32 — the reference GPU kernel computes
+    ``bin_size = roi_h / pooled_h`` in f32, and the quotient's rounding
+    error decides ceil() at exact-multiple boundaries (see
+    ``roi_bin_bounds``).  (Chainer's *CPU* path does this math in float64,
+    which differs at those same boundaries; the GPU kernel is the
+    reference's production path and the contract here.)
+    """
     import math
     import numpy as np
 
@@ -149,18 +182,20 @@ def roi_max_pool_oracle_numpy(feat, rois, out_size=7, spatial_scale=1.0 / 16.0):
     def rnd(x):
         return math.floor(abs(x) + 0.5) * (1 if x >= 0 else -1)
 
+    f32 = np.float32
     for i in range(r):
         sw, sh = rnd(rois[i, 0] * spatial_scale), rnd(rois[i, 1] * spatial_scale)
         ew, eh = rnd(rois[i, 2] * spatial_scale), rnd(rois[i, 3] * spatial_scale)
         rw = max(ew - sw + 1, 1)
         rh = max(eh - sh + 1, 1)
-        bw, bh = rw / out_size, rh / out_size
+        bw = f32(rw) / f32(out_size)
+        bh = f32(rh) / f32(out_size)
         for ph in range(out_size):
             for pw in range(out_size):
-                hs = min(max(int(math.floor(ph * bh)) + sh, 0), h)
-                he = min(max(int(math.ceil((ph + 1) * bh)) + sh, 0), h)
-                ws = min(max(int(math.floor(pw * bw)) + sw, 0), w)
-                we = min(max(int(math.ceil((pw + 1) * bw)) + sw, 0), w)
+                hs = min(max(int(math.floor(f32(ph) * bh)) + sh, 0), h)
+                he = min(max(int(math.ceil(f32(ph + 1) * bh)) + sh, 0), h)
+                ws = min(max(int(math.floor(f32(pw) * bw)) + sw, 0), w)
+                we = min(max(int(math.ceil(f32(pw + 1) * bw)) + sw, 0), w)
                 if he <= hs or we <= ws:
                     continue
                 out[i, ph, pw] = feat[hs:he, ws:we].reshape(-1, c).max(axis=0)
