@@ -13,6 +13,7 @@ from trcnn.data.preprocess import (
     preprocess_device,
 )
 from trcnn.data.voc import VOCDetection, parse_voc_xml
+from trcnn.data.coco import COCODetection
 from trcnn.data.synthetic import SyntheticDetection
 from trcnn.data.loader import DetectionLoader, Batch
 
@@ -22,6 +23,7 @@ __all__ = [
     "preprocess_device",
     "VOCDetection",
     "parse_voc_xml",
+    "COCODetection",
     "SyntheticDetection",
     "DetectionLoader",
     "Batch",

@@ -7,5 +7,7 @@ tracked metric (BASELINE.json).
 
 from trcnn.eval.voc_ap import (DetectionRecord, voc_ap, voc_eval_class,
                                voc_mean_ap)
+from trcnn.eval.coco_ap import coco_eval
 
-__all__ = ["DetectionRecord", "voc_ap", "voc_eval_class", "voc_mean_ap"]
+__all__ = ["DetectionRecord", "voc_ap", "voc_eval_class", "voc_mean_ap",
+           "coco_eval"]

@@ -1,0 +1,67 @@
+"""Profiling and timing harnesses (SURVEY.md §6.1 tracing plan).
+
+The reference had nothing beyond external nvprof; here:
+  * ``time_fn`` — steady-state median wall time of a jitted callable
+    (block_until_ready semantics, warmup included);
+  * ``trace_to`` — context manager around jax.profiler.trace writing a
+    TensorBoard/Perfetto trace directory;
+  * ``op_time_breakdown`` — parse the chrome-trace json of a captured
+    profile into per-op device-time totals (works without the tensorboard
+    profile plugin; used by benchmarks/trace_ops.py).
+"""
+
+from __future__ import annotations
+
+import collections
+import contextlib
+import glob
+import gzip
+import json
+import time
+from typing import Callable, Dict, Tuple
+
+import numpy as np
+
+
+def time_fn(fn: Callable, *args, iters: int = 10, warmup: int = 2) -> Tuple[float, object]:
+    """Median wall seconds per call and the last output."""
+    import jax
+
+    out = jax.block_until_ready(fn(*args))
+    for _ in range(warmup):
+        jax.block_until_ready(fn(*args))
+    ts = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        out = jax.block_until_ready(fn(*args))
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts)), out
+
+
+@contextlib.contextmanager
+def trace_to(logdir: str):
+    import jax
+
+    with jax.profiler.trace(logdir):
+        yield
+
+
+def op_time_breakdown(logdir: str, steps: int = 1) -> Dict[str, float]:
+    """Aggregate device op times (ms per step) from the newest trace in
+    ``logdir``.  Groups by op family (fusion/while/copy/...)."""
+    paths = sorted(glob.glob(logdir + "/plugins/profile/*/*.trace.json.gz"))
+    if not paths:
+        raise FileNotFoundError(f"no trace under {logdir}")
+    with gzip.open(paths[-1]) as f:
+        t = json.load(f)
+    events = t["traceEvents"]
+    pids = {e["pid"]: e["args"].get("name", "")
+            for e in events
+            if e.get("ph") == "M" and e.get("name") == "process_name"}
+    agg: collections.Counter = collections.Counter()
+    for e in events:
+        if (e.get("ph") == "X" and "dur" in e
+                and "TPU" in pids.get(e["pid"], "")
+                and "jit_" not in e["name"]):
+            agg[e["name"].split(".")[0]] += e["dur"]
+    return {k: v / steps / 1000.0 for k, v in agg.most_common()}
