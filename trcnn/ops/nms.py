@@ -82,7 +82,7 @@ def nms_padded(
     n_in = boxes.shape[0]
     if tile is None:
         padded = -(-n_in // 512) * 512
-        tile = padded if padded <= 6144 else 4096
+        tile = padded if padded <= 2048 else 2048
     # --- sort by score descending (stable: ties to lower index) ---------
     masked = jnp.where(valid, scores.astype(jnp.float32), _NEG_INF)
     sorted_scores, order = lax.top_k(masked, n_in)
@@ -131,7 +131,22 @@ def nms_padded(
         suppressed = lax.dynamic_update_slice(suppressed, ~keep_t, (start,))
         return suppressed | killed
 
-    suppressed = lax.fori_loop(0, num_tiles, tile_body, suppressed0)
+    # Walk tiles with early exit: a tile's keep-flags are FINAL once
+    # processed (later boxes never suppress earlier ones), so the loop can
+    # stop as soon as the finalized prefix already holds max_out survivors
+    # — for real RPN score distributions the first tile almost always does,
+    # cutting the O(N·T) IoU work per remaining tile.
+    def loop_cond(state):
+        i, suppressed = state
+        finalized_keep = ~suppressed & (pos < i * tile)
+        return (i < num_tiles) & (
+            jnp.sum(finalized_keep.astype(jnp.int32)) < max_out)
+
+    def loop_body(state):
+        i, suppressed = state
+        return i + 1, tile_body(i, suppressed)
+
+    _, suppressed = lax.while_loop(loop_cond, loop_body, (0, suppressed0))
     keep = ~suppressed  # still score-sorted
 
     # --- compact the first max_out kept boxes ---------------------------

@@ -37,11 +37,13 @@ from jax.experimental.pallas import tpu as pltpu
 from trcnn.ops.roi_pool import max_bin_extent, roi_bin_bounds, roi_max_pool
 
 
-def _kernel(hs_ref, he_ref, ws_ref, we_ref, feat_ref, out_ref, *,
+def _kernel(bounds_ref, feat_ref, out_ref, *,
             out_size: int, mbh: int, feat_h: int, feat_w: int,
             feat_c: int, num_rois: int):
-    # bounds refs are FLAT (B*R*P,) int32 — SMEM pads the minor dim, so a
-    # (B, R, P) layout would blow the 1 MB SMEM budget (P→128 padding).
+    # bounds_ref is FLAT (B*R*P,) int32 with the four bin bounds packed in
+    # 8-bit fields (hs | he<<8 | ws<<16 | we<<24) — SMEM is a 1 MB budget
+    # shared by all prefetched operands, and separate (B, R, P) arrays
+    # blow it at batch ≥ 32 (the minor dim pads to 128).
     b = pl.program_id(0)
     r = pl.program_id(1)
     base = (b * num_rois + r) * out_size
@@ -51,8 +53,9 @@ def _kernel(hs_ref, he_ref, ws_ref, we_ref, feat_ref, out_ref, *,
     col_idx = lax.broadcasted_iota(jnp.int32, (feat_w, feat_c), 0)
 
     for ph in range(out_size):
-        hs = hs_ref[base + ph]
-        he = he_ref[base + ph]
+        packed_h = bounds_ref[base + ph]
+        hs = packed_h & 0xFF
+        he = (packed_h >> 8) & 0xFF
         hs_c = jnp.clip(hs, 0, max(feat_h - mbh, 0))
         rows = feat_ref[0, pl.ds(hs_c, mbh), :, :]          # (MBH, W, C)
         # row masking with SCALAR conditions (one per candidate row) —
@@ -63,8 +66,9 @@ def _kernel(hs_ref, he_ref, ws_ref, we_ref, feat_ref, out_ref, *,
             cand = jnp.maximum(rowmax, rows[i])
             rowmax = jnp.where(ok, cand, rowmax)             # (W, C)
         for pw in range(out_size):
-            ws = ws_ref[base + pw]
-            we = we_ref[base + pw]
+            packed_w = bounds_ref[base + pw]
+            ws = (packed_w >> 16) & 0xFF
+            we = (packed_w >> 24) & 0xFF
             cmask = (col_idx >= ws) & (col_idx < we)         # (W, C)
             bmax = jnp.max(jnp.where(cmask, rowmax, neg), axis=0)  # (C,)
             empty = (he <= hs) | (we <= ws)
@@ -78,13 +82,18 @@ def _forward(feat: jnp.ndarray, rois: jnp.ndarray, out_size: int,
     r = rois.shape[1]
     mbh = max_bin_extent(h, out_size)
 
+    if h > 255 or w > 255:
+        raise ValueError(
+            f"feature map {h}x{w} exceeds the 8-bit packed-bounds range; "
+            "stride-16 maps of any supported resolution fit in 255")
     bounds = jax.vmap(
         lambda rr: roi_bin_bounds(rr, spatial_scale, out_size, h, w)
     )(rois)
     hs, he, ws, we = (x.astype(jnp.int32).reshape(-1) for x in bounds)
+    packed = hs | (he << 8) | (ws << 16) | (we << 24)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=1,
         grid=(b, r),
         in_specs=[
             pl.BlockSpec((1, h, w, c), lambda bb, rr, *_: (bb, 0, 0, 0),
@@ -103,7 +112,7 @@ def _forward(feat: jnp.ndarray, rois: jnp.ndarray, out_size: int,
                                        feat.dtype),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(hs, he, ws, we, feat)
+    )(packed, feat)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
