@@ -96,3 +96,25 @@ def test_loader_repeat_and_shuffle_determinism():
         b1, b2 = next(it1), next(it2)
         assert b1.ids == b2.ids
         np.testing.assert_array_equal(b1.im_info, b2.im_info)
+
+
+def test_multiscale_training_scales_vary_canvas_fixed():
+    from trcnn.config import coco_config
+
+    cfg = coco_config().image
+    assert cfg.multiscale_min_sizes  # config 5 enables it
+    ds = SyntheticDetection(n=8, seed=1)
+    loader = DetectionLoader(ds, batch_size=2, max_boxes=8, image_cfg=cfg,
+                             augment=True, shuffle=False, seed=0, prefetch=0)
+    shorter, shapes = [], set()
+    for b in loader:
+        shapes.add(b.images.shape[1:3])
+        for i in range(2):
+            sh, sw, _ = b.im_info[i]
+            shorter.append(round(min(sh, sw)))
+    # canvas buckets fixed per orientation; sampled scales vary
+    assert shapes <= {(cfg.pad_h, cfg.pad_w), (cfg.pad_w, cfg.pad_h)}
+    assert len(set(shorter)) > 1
+    # the long-side cap can shrink a shorter side below its sampled
+    # target, so only the upper bound is exact
+    assert max(shorter) <= max(cfg.multiscale_min_sizes)

@@ -1,0 +1,130 @@
+"""Training-layer tests: optimizer param groups, freezing, train step on a
+virtual mesh, orbax checkpoint save/auto-resume round trip (SURVEY.md
+§6.3/§6.4)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from trcnn.config import (FasterRCNNConfig, OptimConfig, ProposalConfig,
+                          ProposalTargetConfig)
+from trcnn.data import DetectionLoader, SyntheticDetection
+from trcnn.models import make_model
+from trcnn.train import TrainConfig, Trainer, frozen_mask, make_optimizer
+from trcnn.train.optim import bias_mask
+from trcnn.train.step import (TrainState, device_batch, make_mesh,
+                              make_train_step)
+
+
+def tiny_cfg():
+    return FasterRCNNConfig(
+        head_hidden=32, rpn_channels=16,
+        proposals=ProposalConfig(pre_nms_topk_train=192, post_nms_topk_train=32,
+                                 pre_nms_topk_test=192, post_nms_topk_test=16),
+        proposal_targets=ProposalTargetConfig(rois_per_image=8),
+        optim=OptimConfig(base_lr=1e-3, total_iters=10),
+    )
+
+
+@pytest.fixture(scope="module")
+def model_and_params():
+    cfg = tiny_cfg()
+    model = make_model(cfg)
+    images = jnp.zeros((2, 64, 96, 3))
+    im_info = jnp.asarray([[64.0, 96.0, 1.0]] * 2)
+    params = model.init(jax.random.PRNGKey(0), images, im_info)
+    return cfg, model, params
+
+
+def test_frozen_mask_covers_conv1_conv2(model_and_params):
+    cfg, model, params = model_and_params
+    mask = frozen_mask(params, "vgg16")
+    flat = {
+        "/".join(str(getattr(k, "key", k)) for k in path): v
+        for path, v in jax.tree_util.tree_flatten_with_path(mask)[0]
+    }
+    assert flat["params/extractor/conv1_1/kernel"]
+    assert flat["params/extractor/conv2_2/bias"]
+    assert not flat["params/extractor/conv3_1/kernel"]
+    assert not flat["params/head/fc6/kernel"]
+
+
+def test_optimizer_freezes_and_doubles_bias_lr(model_and_params):
+    cfg, model, params = model_and_params
+    tx = make_optimizer(params, cfg.optim, "vgg16")
+    state = tx.init(params)
+    # fake gradient of ones everywhere, no weight decay interference:
+    # check the frozen subtree gets exactly zero update and biases get 2x
+    grads = jax.tree.map(jnp.ones_like, params)
+    updates, _ = tx.update(grads, state, params)
+    gp = updates["params"]
+    assert float(jnp.abs(gp["extractor"]["conv1_1"]["kernel"]).sum()) == 0.0
+    w_upd = float(gp["head"]["cls_score"]["kernel"][0, 0])
+    b_upd = float(gp["head"]["cls_score"]["bias"][0])
+    # bias has no weight decay and 2x lr: update = -2e-3 exactly;
+    # weight update = -(1 + wd*w)*lr
+    assert b_upd == pytest.approx(-2e-3, rel=1e-5)
+    assert w_upd == pytest.approx(-1e-3 * (1.0 + 5e-4 *
+                                           float(params["params"]["head"]
+                                                 ["cls_score"]["kernel"][0, 0])),
+                                  rel=1e-4)
+
+
+def _batch(cfg, b=2):
+    loader = DetectionLoader(SyntheticDetection(n=4, seed=0, hw_range=((60, 64), (90, 96))),
+                             batch_size=b, max_boxes=8, image_cfg=cfg.image,
+                             prefetch=0)
+    return next(iter(loader))
+
+
+def test_train_step_on_virtual_mesh(model_and_params):
+    cfg, model, params = model_and_params
+    cfg = cfg.replace(image=cfg.image.__class__(
+        target_min_size=60, target_max_size=96, pad_h=64, pad_w=96))
+    mesh = make_mesh(n_data=4, n_model=2)
+    tx = make_optimizer(params, cfg.optim, "vgg16")
+    state = TrainState.create_sharded(params, tx, mesh)
+    step = make_train_step(model, tx, mesh)
+    batch = _batch(cfg, b=4)
+    db = device_batch(batch, mesh)
+    # the step donates its input state — snapshot before calling
+    before = jax.tree.map(np.asarray, state.params)
+    new_state, metrics = step(state, db, jax.random.PRNGKey(0))
+    assert int(new_state.step) == 1
+    assert np.isfinite(float(metrics["loss"]))
+    # params actually changed
+    d = jax.tree.map(lambda a, b_: float(np.abs(np.asarray(a) - b_).sum()),
+                     new_state.params, before)
+    assert sum(jax.tree.leaves(d)) > 0
+
+
+def test_trainer_checkpoint_and_auto_resume(model_and_params, tmp_path):
+    cfg, model, params = model_and_params
+    cfg = cfg.replace(image=cfg.image.__class__(
+        target_min_size=60, target_max_size=96, pad_h=64, pad_w=96))
+    ckdir = str(tmp_path / "ck")
+
+    def batches():
+        while True:
+            yield _batch(cfg)
+
+    t1 = Trainer(model, params, cfg, TrainConfig(
+        total_iters=3, log_every=10, checkpoint_every=0,
+        checkpoint_dir=ckdir, use_mesh=False))
+    t1.fit(batches())
+    assert int(t1.state.step) == 3
+
+    # a fresh Trainer over the same dir must auto-resume at step 3
+    t2 = Trainer(model, params, cfg, TrainConfig(
+        total_iters=5, log_every=10, checkpoint_every=0,
+        checkpoint_dir=ckdir, use_mesh=False))
+    assert int(t2.state.step) == 3
+    np.testing.assert_allclose(
+        np.asarray(t2.state.params["params"]["head"]["fc6"]["kernel"]),
+        np.asarray(t1.state.params["params"]["head"]["fc6"]["kernel"]),
+        rtol=1e-6)
+    t2.fit(batches())
+    assert int(t2.state.step) == 5

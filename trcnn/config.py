@@ -120,6 +120,12 @@ class ImageConfig:
     pixel_means_bgr: Tuple[float, float, float] = (102.9801, 115.9465, 122.7717)
     pad_h: int = 608
     pad_w: int = 1024
+    # multi-scale training (COCO config, BASELINE.json config 5): per-image
+    # random choice of shorter-side target; () disables.  The canvas stays
+    # the single (pad_h, pad_w) bucket sized for the LARGEST scale — one
+    # compiled graph per orientation regardless of the sampled scale
+    # (SURVEY.md §6.7: scale variation via padding, not recompilation).
+    multiscale_min_sizes: Tuple[int, ...] = ()
 
 
 @dataclasses.dataclass(frozen=True)
@@ -192,6 +198,7 @@ def coco_config() -> FasterRCNNConfig:
             post_nms_topk_test=1000,
         ),
         image=ImageConfig(target_min_size=800, target_max_size=1333,
-                          pad_h=800, pad_w=1344),
+                          pad_h=800, pad_w=1344,
+                          multiscale_min_sizes=(640, 672, 704, 736, 768, 800)),
         test=TestTimeConfig(max_dets_per_class=100, max_dets_per_image=100),
     )

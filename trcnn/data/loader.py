@@ -72,7 +72,15 @@ class DetectionLoader:
     def _load(self, idx: int, rng: np.random.RandomState):
         ex = self.dataset.get_example(idx)
         flip = bool(self.augment and rng.rand() < 0.5)
-        canvas, im_info = preprocess_image(ex["image"], self.image_cfg, flip)
+        # multi-scale training: per-image random shorter-side target
+        # (BASELINE config 5); canvas bucket stays fixed so shapes don't
+        # change across scales
+        min_size = None
+        scales = self.image_cfg.multiscale_min_sizes
+        if self.augment and scales:
+            min_size = int(scales[rng.randint(len(scales))])
+        canvas, im_info = preprocess_image(ex["image"], self.image_cfg, flip,
+                                           min_size=min_size)
         g = self.max_boxes
         boxes = np.zeros((g, 4), np.float32)
         labels = np.zeros((g,), np.int32)

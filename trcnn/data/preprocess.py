@@ -16,18 +16,21 @@ Two paths:
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 
 from trcnn.config import ImageConfig
 
 
-def compute_scale(h: int, w: int, cfg: ImageConfig = ImageConfig()) -> float:
+def compute_scale(h: int, w: int, cfg: ImageConfig = ImageConfig(),
+                  min_size: Optional[int] = None) -> float:
     """600/1000 rule: scale shorter side to target_min_size, capped so the
-    longer side does not exceed target_max_size."""
+    longer side does not exceed target_max_size.  ``min_size`` overrides
+    the target (multi-scale training samples it per image)."""
     short, long = min(h, w), max(h, w)
-    scale = cfg.target_min_size / float(short)
+    target = min_size if min_size is not None else cfg.target_min_size
+    scale = target / float(short)
     if round(scale * long) > cfg.target_max_size:
         scale = cfg.target_max_size / float(long)
     return scale
@@ -41,7 +44,8 @@ def canvas_shape(h: int, w: int, cfg: ImageConfig = ImageConfig()) -> Tuple[int,
 
 
 def preprocess_image(
-    img_bgr: np.ndarray, cfg: ImageConfig = ImageConfig(), flip: bool = False
+    img_bgr: np.ndarray, cfg: ImageConfig = ImageConfig(), flip: bool = False,
+    min_size: Optional[int] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Host-side preprocessing of one BGR uint8 image.
 
@@ -53,7 +57,7 @@ def preprocess_image(
     import cv2
 
     h, w = img_bgr.shape[:2]
-    scale = compute_scale(h, w, cfg)
+    scale = compute_scale(h, w, cfg, min_size=min_size)
     sw, sh = int(round(w * scale)), int(round(h * scale))
     pad_h, pad_w = canvas_shape(h, w, cfg)
     if sh > pad_h or sw > pad_w:

@@ -33,6 +33,9 @@ class TrainState(struct.PyTreeNode):
 
     @classmethod
     def create(cls, params, tx: optax.GradientTransformation) -> "TrainState":
+        # copy: the train step donates its input state, which would
+        # otherwise delete the caller's param buffers out from under them
+        params = jax.tree.map(lambda x: jnp.asarray(x).copy(), params)
         return cls(step=jnp.zeros((), jnp.int32), params=params,
                    opt_state=tx.init(params))
 
