@@ -37,6 +37,9 @@ def main() -> int:
     ap.add_argument("--lr", type=float, default=None)
     ap.add_argument("--backbone", default="vgg16",
                     choices=["vgg16", "resnet101"])
+    ap.add_argument("--dtype", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="compute dtype (params stay fp32)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--log_every", type=int, default=20)
     ap.add_argument("--checkpoint_every", type=int, default=5000)
@@ -73,7 +76,9 @@ def main() -> int:
         ds, batch_size=args.batch_size, image_cfg=cfg.image,
         augment=True, shuffle=True, repeat=True, seed=args.seed)
 
-    model = make_model(cfg)
+    import jax.numpy as jnp
+    model = make_model(cfg, dtype=jnp.bfloat16 if args.dtype == "bfloat16"
+                       else jnp.float32)
     ex = next(iter(DetectionLoader(ds, batch_size=args.batch_size,
                                    image_cfg=cfg.image)))
     if args.pretrained_model:

@@ -136,7 +136,9 @@ def _bwd(out_size, spatial_scale, interpret, res, g):
     # through the pool.
     xla = jax.vmap(functools.partial(
         roi_max_pool, out_size=out_size, spatial_scale=spatial_scale))
-    _, vjp = jax.vjp(lambda f: xla(f, rois), feat)
+    # the XLA formulation promotes low-precision inputs to f32 internally;
+    # pin its output dtype to the kernel's so the cotangent types line up
+    _, vjp = jax.vjp(lambda f: xla(f, rois).astype(feat.dtype), feat)
     (dfeat,) = vjp(g.astype(feat.dtype))
     return dfeat, jnp.zeros_like(rois)
 
