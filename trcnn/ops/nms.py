@@ -100,17 +100,12 @@ def nms_padded(
     row_idx = jnp.arange(tile, dtype=jnp.int32)
     upper_mask = row_idx[:, None] < row_idx[None, :]  # r strictly before c
 
-    def tile_body(i, suppressed):
-        start = i * tile
-        tb = lax.dynamic_slice(sboxes, (start, 0), (tile, 4))
-        sup_t = lax.dynamic_slice(suppressed, (start,), (tile,))
-
-        # self-suppression: greedy fixpoint over the tile's T x T matrix.
-        # keep[c] = valid[c] & !any_{r<c}(keep[r] & over[r,c]) — iterate to
-        # the (unique, greedy) fixpoint; converges in suppression-chain
-        # depth, which the while_loop tracks exactly.
+    def self_suppress(tb, valid_t):
+        """Greedy fixpoint over one tile's T x T matrix:
+        keep[c] = valid[c] & !any_{r<c}(keep[r] & over[r,c]).  Jacobi
+        iteration converges in suppression-chain depth (the while_loop
+        tracks it exactly), and the fixpoint IS the greedy solution."""
         upper = (box_iou(tb, tb) > iou_thresh) & upper_mask  # (T, T)
-        valid_t = ~sup_t
 
         def fix_cond(kk):
             k_old, k_new = kk
@@ -123,30 +118,45 @@ def nms_padded(
         k0 = valid_t
         k1 = valid_t & ~jnp.any(upper & k0[:, None], axis=0)
         _, keep_t = lax.while_loop(fix_cond, fix_body, (k0, k1))
+        return keep_t
 
-        # cross-suppression: kept boxes of this tile kill later boxes
-        over_nt = box_iou(sboxes, tb) > iou_thresh  # (N, T)
-        killed = jnp.any(over_nt & keep_t[None, :], axis=1) & (pos >= start + tile)
+    # --- tile 0, peeled statically: no cross-suppression exists yet ------
+    keep_t0 = self_suppress(sboxes[:tile], svalid[:tile])
+    suppressed0 = lax.dynamic_update_slice(suppressed0, ~keep_t0, (0,))
 
-        suppressed = lax.dynamic_update_slice(suppressed, ~keep_t, (start,))
-        return suppressed | killed
+    if num_tiles > 1:
+        # --- later tiles, processed lazily with early exit --------------
+        # A processed tile's keep-flags are FINAL (later boxes never
+        # suppress earlier ones), so the loop stops once the finalized
+        # prefix holds max_out survivors — for real RPN score
+        # distributions tile 0 almost always does, and then NO (T x N)
+        # cross-IoU work happens at all.  Cross-suppression is pulled
+        # per-tile from the kept prefix instead of pushed to the suffix.
+        def tile_body(i, suppressed):
+            start = i * tile
+            tb = lax.dynamic_slice(sboxes, (start, 0), (tile, 4))
+            sup_t = lax.dynamic_slice(suppressed, (start,), (tile,))
 
-    # Walk tiles with early exit: a tile's keep-flags are FINAL once
-    # processed (later boxes never suppress earlier ones), so the loop can
-    # stop as soon as the finalized prefix already holds max_out survivors
-    # — for real RPN score distributions the first tile almost always does,
-    # cutting the O(N·T) IoU work per remaining tile.
-    def loop_cond(state):
-        i, suppressed = state
-        finalized_keep = ~suppressed & (pos < i * tile)
-        return (i < num_tiles) & (
-            jnp.sum(finalized_keep.astype(jnp.int32)) < max_out)
+            kept_prefix = ~suppressed & (pos < start)            # (N,)
+            over_tn = box_iou(tb, sboxes) > iou_thresh           # (T, N)
+            killed = jnp.any(over_tn & kept_prefix[None, :], axis=1)
+            keep_t = self_suppress(tb, ~(sup_t | killed))
+            return lax.dynamic_update_slice(suppressed, ~keep_t, (start,))
 
-    def loop_body(state):
-        i, suppressed = state
-        return i + 1, tile_body(i, suppressed)
+        def loop_cond(state):
+            i, suppressed = state
+            finalized_keep = ~suppressed & (pos < i * tile)
+            return (i < num_tiles) & (
+                jnp.sum(finalized_keep.astype(jnp.int32)) < max_out)
 
-    _, suppressed = lax.while_loop(loop_cond, loop_body, (0, suppressed0))
+        def loop_body(state):
+            i, suppressed = state
+            return i + 1, tile_body(i, suppressed)
+
+        _, suppressed = lax.while_loop(loop_cond, loop_body,
+                                       (1, suppressed0))
+    else:
+        suppressed = suppressed0
     keep = ~suppressed  # still score-sorted
 
     # --- compact the first max_out kept boxes ---------------------------
