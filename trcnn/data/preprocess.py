@@ -117,14 +117,17 @@ def preprocess_device(raw_u8, raw_h, raw_w, scale,
     x = jnp.where((yy < raw_h) & (xx < raw_w), x, 0.0)
 
     s = jnp.asarray(scale, jnp.float32)
-    scales = jnp.stack([s, s])
-    trans = 0.5 * scales - 0.5
+    sh = jnp.round(raw_h * s)
+    sw = jnp.round(raw_w * s)
+    # cv2.resize targets the ROUNDED size, so the effective per-axis scale
+    # is sh/h (not s); translation 0 — scale_and_translate's kernel
+    # already applies the half-pixel-center convention
+    # (jax.image.resize passes exactly this), matching cv2.INTER_LINEAR.
+    scales = jnp.stack([sh / raw_h, sw / raw_w]).astype(jnp.float32)
+    trans = jnp.zeros((2,), jnp.float32)
     canvas = jax.image.scale_and_translate(
         x, (cfg.pad_h, cfg.pad_w, 3), (0, 1), scales, trans,
         method="linear", antialias=False)
-
-    sh = jnp.round(raw_h * s)
-    sw = jnp.round(raw_w * s)
     yy2 = jnp.arange(cfg.pad_h)[:, None, None]
     xx2 = jnp.arange(cfg.pad_w)[None, :, None]
     inside = (yy2 < sh) & (xx2 < sw)

@@ -81,8 +81,13 @@ def nms_padded(
     """
     n_in = boxes.shape[0]
     if tile is None:
+        # capacity-aware: the early exit fires once max_out survivors are
+        # finalized, so the peeled tile should plausibly contain them —
+        # size it to ~2x max_out (train-time max_out=2000 ⇒ 4096-tiles;
+        # test-time 300 ⇒ 2048)
         padded = -(-n_in // 512) * 512
-        tile = padded if padded <= 2048 else 2048
+        want = max(2048, -(-2 * max_out // 512) * 512)
+        tile = min(padded, want)
     # --- sort by score descending (stable: ties to lower index) ---------
     masked = jnp.where(valid, scores.astype(jnp.float32), _NEG_INF)
     sorted_scores, order = lax.top_k(masked, n_in)
