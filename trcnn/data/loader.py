@@ -3,14 +3,17 @@
 The reference iterates batch=1 images through Chainer's iterator
 (SURVEY.md §4.2); the TPU rebuild batches padded canvases into fixed
 shapes and overlaps host preprocessing with device compute via a
-background-thread prefetcher (double buffering) — host stays out of the
-hot loop.
+background-thread prefetcher (double buffering) plus a thread pool for
+per-example decode/resize (cv2 releases the GIL) — measured on chip, a
+single-threaded loader capped batch-8 training at ~4 img/s against a
+~24 img/s device step.
 """
 
 from __future__ import annotations
 
 import queue
 import threading
+from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, Iterator, NamedTuple, Optional, Sequence, Tuple
 
 import numpy as np
@@ -52,6 +55,7 @@ class DetectionLoader:
         repeat: bool = False,
         seed: int = 0,
         prefetch: int = 2,
+        workers: int = 8,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -62,6 +66,7 @@ class DetectionLoader:
         self.repeat = repeat
         self.seed = seed
         self.prefetch = prefetch
+        self.workers = workers
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -119,17 +124,45 @@ class DetectionLoader:
     def _batches(self) -> Iterator[Batch]:
         """Emit fixed-shape batches, grouping examples by canvas bucket
         (landscape vs portrait orientation — images in one batch must share
-        one static shape; each bucket is one compiled graph)."""
-        rng = np.random.RandomState(self.seed + 1)
+        one static shape; each bucket is one compiled graph).
+
+        Per-example decode/resize runs on a thread pool with a bounded
+        in-flight window; results are consumed in submission order so the
+        stream stays deterministic.  Each example gets its own
+        seed-derived RandomState (a shared one would race across threads).
+        """
         pending: Dict[Tuple[int, ...], list] = {}
-        for idx in self._index_stream():
-            part = self._load(idx, rng)
-            key = part[0].shape
-            bucket = pending.setdefault(key, [])
-            bucket.append(part)
-            if len(bucket) == self.batch_size:
-                yield self._make_batch(bucket)
-                pending[key] = []
+
+        def load(idx: int, k: int):
+            rng = np.random.RandomState(
+                (self.seed + 1) * 1000003 + k & 0x7FFFFFFF)
+            return self._load(idx, rng)
+
+        stream = enumerate(self._index_stream())
+
+        with ThreadPoolExecutor(max_workers=max(self.workers, 1)) as pool:
+            window: list = []
+
+            def submit() -> bool:
+                try:
+                    k, idx = next(stream)
+                except StopIteration:
+                    return False
+                window.append(pool.submit(load, idx, k))
+                return True
+
+            for _ in range(max(self.workers, 1) * 2):
+                if not submit():
+                    break
+            while window:
+                part = window.pop(0).result()
+                submit()
+                key = part[0].shape
+                bucket = pending.setdefault(key, [])
+                bucket.append(part)
+                if len(bucket) == self.batch_size:
+                    yield self._make_batch(bucket)
+                    pending[key] = []
         if not self.repeat:
             # flush partial buckets, padding by repeating the first example
             for bucket in pending.values():

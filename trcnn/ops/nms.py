@@ -6,15 +6,20 @@ structure is re-thought for XLA/VPU:
 
   1. sort boxes by score (descending, ties to the lower index — matching the
      reference's stable argsort);
-  2. walk score-ordered tiles of T boxes: resolve suppression *within* the
-     tile by iterating the greedy recurrence
+  2. resolve the first tile of T boxes with the greedy-recurrence fixpoint
          keep[c] = valid[c] & !any_{r<c}(keep[r] & iou[r,c] > t)
-     to its fixpoint (Jacobi iteration over the T x T IoU matrix: on a
-     suppression DAG this converges in chain-depth steps — typically 3-5 —
-     and the fixpoint IS the greedy solution, checked by a while_loop, so
-     the result stays *exact*); then suppress every later box against the
-     tile's kept boxes with one batched (N x T) IoU computation;
-  3. emit the first ``max_out`` surviving boxes as indices + validity mask.
+     (Jacobi iteration over the T x T IoU matrix: on a suppression DAG this
+     converges in chain-depth steps — typically 3-5 — and the fixpoint IS
+     the greedy solution, checked by a while_loop, so the result stays
+     *exact*);
+  3. walk the remaining tiles in a while_loop that exits as soon as the
+     finalized prefix holds ``max_out`` survivors (keep-flags of processed
+     tiles are final — later boxes never suppress earlier ones); each tile
+     first pulls cross-suppression from the kept prefix with one (T x N)
+     IoU pass, then runs its own fixpoint.  In the common case (real RPN
+     score distributions) tile 0 already yields ``max_out`` survivors and
+     NO cross-tile IoU work happens at all;
+  4. emit the first ``max_out`` surviving boxes as indices + validity mask.
 
 This is *exactly* greedy NMS (bit-identical keep-set to the O(n^2) host
 loop, verified against a numpy oracle in tests/test_nms.py), but the
