@@ -40,6 +40,11 @@ def main() -> int:
     ap.add_argument("--dtype", default="float32",
                     choices=["float32", "bfloat16"],
                     help="compute dtype (params stay fp32)")
+    ap.add_argument("--transfer", default="float32",
+                    choices=["float32", "uint8"],
+                    help="host->device image format; uint8 quarters the "
+                         "upload bytes (mean-subtract moves on device, "
+                         "<=0.5-intensity rounding)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--log_every", type=int, default=20)
     ap.add_argument("--checkpoint_every", type=int, default=5000)
@@ -74,7 +79,8 @@ def main() -> int:
 
     loader = DetectionLoader(
         ds, batch_size=args.batch_size, image_cfg=cfg.image,
-        augment=True, shuffle=True, repeat=True, seed=args.seed)
+        augment=True, shuffle=True, repeat=True, seed=args.seed,
+        uint8_images=(args.transfer == "uint8"))
 
     import jax.numpy as jnp
     model = make_model(cfg, dtype=jnp.bfloat16 if args.dtype == "bfloat16"

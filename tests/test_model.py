@@ -112,3 +112,27 @@ def test_gradients_flow_to_heads(setup):
     assert float(jnp.abs(gp["extractor"]["conv5_3"]["kernel"]).sum()) > 0
     assert all(np.isfinite(float(jnp.abs(x).sum()))
                for x in jax.tree.leaves(g))
+
+
+def test_uint8_input_path_matches_float(setup):
+    """uint8 canvases (device-side mean subtraction) must produce the same
+    detections as the host mean-subtracted float path up to the <=0.5
+    rounding of the uint8 quantization."""
+    cfg, model, params, _, _ = setup
+    rng = np.random.RandomState(3)
+    img_u8 = rng.randint(0, 256, size=(2, 64, 96, 3)).astype(np.uint8)
+    im_info = jnp.asarray([[60.0, 90.0, 1.0], [64.0, 96.0, 1.5]], jnp.float32)
+    means = np.asarray(cfg.image.pixel_means_bgr, np.float32)
+
+    # float path: mean-subtracted, zero beyond the valid extent
+    imgs_f = img_u8.astype(np.float32) - means
+    for i, (sh, sw) in enumerate([(60, 90), (64, 96)]):
+        imgs_f[i, sh:] = 0.0
+        imgs_f[i, :, sw:] = 0.0
+
+    raw_f = model.apply(params, jnp.asarray(imgs_f), im_info, method="detect")
+    raw_u = model.apply(params, jnp.asarray(img_u8), im_info, method="detect")
+    np.testing.assert_allclose(np.asarray(raw_u.cls_prob),
+                               np.asarray(raw_f.cls_prob), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(raw_u.rois),
+                               np.asarray(raw_f.rois), atol=1e-3)

@@ -56,6 +56,7 @@ class DetectionLoader:
         seed: int = 0,
         prefetch: int = 2,
         workers: int = 8,
+        uint8_images: bool = False,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -67,6 +68,7 @@ class DetectionLoader:
         self.seed = seed
         self.prefetch = prefetch
         self.workers = workers
+        self.uint8_images = uint8_images
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -85,7 +87,8 @@ class DetectionLoader:
         if self.augment and scales:
             min_size = int(scales[rng.randint(len(scales))])
         canvas, im_info = preprocess_image(ex["image"], self.image_cfg, flip,
-                                           min_size=min_size)
+                                           min_size=min_size,
+                                           as_uint8=self.uint8_images)
         g = self.max_boxes
         boxes = np.zeros((g, 4), np.float32)
         labels = np.zeros((g,), np.int32)

@@ -45,14 +45,19 @@ def canvas_shape(h: int, w: int, cfg: ImageConfig = ImageConfig()) -> Tuple[int,
 
 def preprocess_image(
     img_bgr: np.ndarray, cfg: ImageConfig = ImageConfig(), flip: bool = False,
-    min_size: Optional[int] = None,
+    min_size: Optional[int] = None, as_uint8: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Host-side preprocessing of one BGR uint8 image.
 
-    Returns (canvas, im_info): canvas (ph, pw, 3) float32 — the
-    orientation bucket of ``canvas_shape`` — with the scaled image in the
-    top-left corner and zeros elsewhere; im_info = (scaled_h, scaled_w,
-    scale) float32.
+    Returns (canvas, im_info): canvas (ph, pw, 3) — the orientation bucket
+    of ``canvas_shape`` — with the scaled image in the top-left corner and
+    zeros elsewhere; im_info = (scaled_h, scaled_w, scale) float32.
+
+    ``as_uint8``: emit the canvas as uint8 WITHOUT mean subtraction (the
+    model subtracts on device, see ``FasterRCNN`` uint8 input handling) —
+    quarters the host→device bytes at ≤0.5-intensity rounding cost.
+    Default float32 mean-subtracted (bit-parity with the reference's
+    preprocessing).
     """
     import cv2
 
@@ -68,10 +73,15 @@ def preprocess_image(
         img = img[:, ::-1]
     resized = cv2.resize(img.astype(np.float32), (sw, sh),
                          interpolation=cv2.INTER_LINEAR)
+    info = np.asarray([sh, sw, scale], dtype=np.float32)
+    if as_uint8:
+        canvas = np.zeros((pad_h, pad_w, 3), dtype=np.uint8)
+        canvas[:sh, :sw] = np.clip(np.rint(resized), 0, 255).astype(np.uint8)
+        return canvas, info
     resized -= np.asarray(cfg.pixel_means_bgr, dtype=np.float32)
     canvas = np.zeros((pad_h, pad_w, 3), dtype=np.float32)
     canvas[:sh, :sw] = resized
-    return canvas, np.asarray([sh, sw, scale], dtype=np.float32)
+    return canvas, info
 
 
 def scale_gt_boxes(boxes: np.ndarray, scale: float, orig_w: int,

@@ -88,6 +88,22 @@ class FasterRCNN(nn.Module):
 
     # ---- graph pieces ---------------------------------------------------
 
+    def _prepare(self, images: jnp.ndarray, im_info: jnp.ndarray) -> jnp.ndarray:
+        """uint8 input handling: the loader may ship raw uint8 canvases
+        (4x fewer host→device bytes); mean subtraction then happens here,
+        with the padding region re-zeroed from im_info so it matches the
+        float path exactly."""
+        if images.dtype != jnp.uint8:
+            return images
+        means = jnp.asarray(self.cfg.image.pixel_means_bgr, jnp.float32)
+        x = images.astype(jnp.float32) - means
+        _, h, w, _ = images.shape
+        yy = jnp.arange(h)[None, :, None, None]
+        xx = jnp.arange(w)[None, None, :, None]
+        inside = ((yy < im_info[:, 0, None, None, None])
+                  & (xx < im_info[:, 1, None, None, None]))
+        return jnp.where(inside, x, 0.0)
+
     def features(self, images: jnp.ndarray) -> jnp.ndarray:
         return self.extractor(images)
 
@@ -129,10 +145,11 @@ class FasterRCNN(nn.Module):
         """Full test-mode forward for a padded image batch.
 
         Args:
-          images: (B, H, W, 3) mean-subtracted BGR, zero-padded canvas.
+          images: (B, H, W, 3) mean-subtracted BGR, zero-padded canvas
+            (or raw uint8 — see ``_prepare``).
           im_info: (B, 3) rows (scaled_h, scaled_w, im_scale).
         """
-        feat = self.extractor(images)
+        feat = self.extractor(self._prepare(images, im_info))
         rpnout = self.rpn(feat)
 
         prop = functools.partial(
@@ -176,7 +193,7 @@ class FasterRCNN(nn.Module):
         """
         cfg = self.cfg
         b = images.shape[0]
-        feat = self.extractor(images)
+        feat = self.extractor(self._prepare(images, im_info))
         rpnout = self.rpn(feat)
         _, fh, fw, _ = feat.shape
         a = cfg.anchors.num_anchors

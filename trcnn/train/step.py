@@ -84,11 +84,29 @@ def param_shardings(params, mesh: Mesh):
     return jax.tree_util.tree_map_with_path(rule, params)
 
 
-def device_batch(batch, mesh: Optional[Mesh] = None) -> Dict[str, jnp.ndarray]:
+def device_batch(batch, mesh: Optional[Mesh] = None,
+                 image_dtype=None) -> Dict[str, jnp.ndarray]:
     """Strip host-only fields and put the batch on device (sharded on
-    ``data`` when a mesh is given)."""
+    ``data`` when a mesh is given).
+
+    ``image_dtype``: cast images on the HOST before upload.  When the
+    model computes in bf16 the f32 canvas is cast down at the first conv
+    anyway, so uploading bf16 halves the host→device bytes at zero model
+    impact (this environment's tunneled chip moves ~45 MB/s, making the
+    80 MB f32 batch-8 canvas the training bottleneck).
+    """
+    images = batch.images
+    if np.asarray(images).dtype == np.uint8:
+        image_dtype = None  # uint8 transfer path: ship as-is
+    if image_dtype is not None:
+        import ml_dtypes  # numpy bf16 support, ships with jax
+
+        np_dtype = {jnp.bfloat16: ml_dtypes.bfloat16,
+                    jnp.float16: np.float16,
+                    jnp.float32: np.float32}.get(image_dtype, image_dtype)
+        images = np.asarray(images).astype(np_dtype)
     arrays = {
-        "images": batch.images,
+        "images": images,
         "im_info": batch.im_info,
         "gt_boxes": batch.gt_boxes,
         "gt_labels": batch.gt_labels,

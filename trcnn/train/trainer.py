@@ -111,13 +111,25 @@ class Trainer:
         imgs_since = 0
         start_step = int(self.state.step)
 
-        for batch in batches:
+        image_dtype = getattr(self.model, "dtype", None)
+        it = iter(batches)
+        # one-batch lookahead: the NEXT batch's (async) host→device upload
+        # is enqueued before this step runs, overlapping transfer with
+        # compute — on the tunneled chip the upload otherwise serializes
+        # with the step
+        nxt = next(it, None)
+        db_next = (device_batch(nxt, self.mesh, image_dtype=image_dtype)
+                   if nxt is not None else None)
+        while db_next is not None:
             step = int(self.state.step)
             if step >= total:
                 break
-            db = device_batch(batch, self.mesh)
+            db, bsz = db_next, nxt.images.shape[0]
+            nxt = next(it, None)
+            db_next = (device_batch(nxt, self.mesh, image_dtype=image_dtype)
+                       if nxt is not None else None)
             self.state, metrics = self.step_fn(self.state, db, self.rng)
-            imgs_since += batch.images.shape[0]
+            imgs_since += bsz
             step += 1
 
             if step % log_every == 0 or step == total:
