@@ -6,14 +6,16 @@ bitmask-tile design (SURVEY.md §3.3).  Same greedy semantics as
 kernel keeps the whole suppression state in VMEM and walks score-ordered
 tiles of T boxes:
 
-  * per tile: a short sequential pass resolves suppression *within* the
-    tile via a T×T IoU matrix (VPU), then one dense (N×T) IoU computation
+  * per tile: the greedy recurrence is resolved as a Jacobi fixpoint over
+    the T×T IoU matrix (converges in suppression-chain depth; exact —
+    same algorithm as the XLA path), then one dense (N×T) IoU computation
     suppresses all later boxes against the tile's survivors;
   * box coordinates are pre-split into per-coordinate (1, N) rows so every
     IoU is pure 8×128-lane VPU math — no gathers, no (N, 4) layout
     transposes inside the loop;
-  * the sequential dependency is O(T) per tile instead of O(N) total: the
-    CUDA kernel's bitmask reduction maps onto the suppression-row sweep.
+  * ALL state (coords, suppression flags, IoU tiles) stays in VMEM for the
+    kernel's whole lifetime — no HBM round-trip per fixpoint iteration,
+    which is what the XLA formulation pays.
 
 The input sort and the output compaction (top-k over kept positions) stay
 in XLA where they are already optimal; the kernel does the O(N²) IoU work,
@@ -40,10 +42,13 @@ _NEG_INF = jnp.float32(-jnp.inf)
 
 def _suppression_kernel(x1_ref, y1_ref, x2_ref, y2_ref, valid_ref,
                         thresh_ref, keep_ref, *, tile: int):
-    """Computes keep mask (1, N) int32 for score-sorted boxes.
+    """Computes keep mask (1, N) for score-sorted boxes.
 
     Refs hold (1, N) rows in VMEM (coordinates pre-masked so padding rows
-    never suppress anything); thresh in SMEM.
+    never suppress anything); thresh in SMEM.  All keep/suppression state
+    is int32 (0/1) — Mosaic cannot reshape/relayout sub-32-bit vectors
+    (e.g. (T,)i1 → (T,1)i1), so bool state would block the column/row
+    orientation changes the algorithm needs.
     """
     n = x1_ref.shape[1]
     num_tiles = n // tile
@@ -57,7 +62,7 @@ def _suppression_kernel(x1_ref, y1_ref, x2_ref, y2_ref, valid_ref,
 
     pos = lax.broadcasted_iota(jnp.int32, (1, n), 1)
 
-    # suppressed state lives in the output ref; start = ~valid
+    # keep state lives in the output ref; start = valid (int32 0/1)
     keep_ref[:] = valid_ref[:]
 
     def iou_vs_tile(tx1, ty1, tx2, ty2, tarea):
@@ -82,9 +87,10 @@ def _suppression_kernel(x1_ref, y1_ref, x2_ref, y2_ref, valid_ref,
         ty2 = y2_ref[0, pl.ds(start, tile)].reshape(tile, 1)
         tarea = (tx2 - tx1 + 1.0) * (ty2 - ty1 + 1.0)
 
-        over = iou_vs_tile(tx1, ty1, tx2, ty2, tarea) > thresh  # (T, N)
+        over = (iou_vs_tile(tx1, ty1, tx2, ty2, tarea) > thresh
+                ).astype(jnp.int32)                                # (T, N)
 
-        keep_row = keep_ref[0, pl.ds(start, tile)].reshape(tile, 1)  # (T, 1)
+        valid_col = keep_ref[0, pl.ds(start, tile)].reshape(tile, 1)  # (T,1)
         row_ids = lax.broadcasted_iota(jnp.int32, (tile, tile), 0)
         col_ids = lax.broadcasted_iota(jnp.int32, (tile, tile), 1)
         # tile-vs-tile IoU from the tile coords directly ((T,1) vs (1,T)
@@ -97,28 +103,34 @@ def _suppression_kernel(x1_ref, y1_ref, x2_ref, y2_ref, valid_ref,
         uh = jnp.maximum(uyy2 - uyy1 + 1.0, 0.0)
         uinter = uw * uh
         over_tt = uinter / (tarea + tarea.reshape(1, tile) - uinter) > thresh
-        upper = (col_ids > row_ids) & over_tt  # row r suppresses col c>r
+        # upper[r, c] = 1 iff row r suppresses col c (r strictly before c)
+        upper = ((col_ids > row_ids) & over_tt).astype(jnp.int32)
 
-        sel = lax.broadcasted_iota(jnp.int32, (tile, 1), 0)  # (T, 1)
+        # within-tile greedy via the Jacobi fixpoint (same algorithm as
+        # trcnn.ops.nms): keep[c] = valid[c] * (1 - max_r(keep[r]*over)),
+        # converging in suppression-chain depth — a handful of (T, T)
+        # matrix steps instead of T sequential row steps.  int32 math:
+        # max over rows gives (1, T), int32 reshape to (T, 1) is legal.
+        def step(k_col):
+            killed = jnp.max(upper * k_col, axis=0, keepdims=True)  # (1,T)
+            return valid_col * (1 - killed.reshape(tile, 1))
 
-        def row_body(r, keep_col):
-            # keep_col: (T, 1) current keep state within the tile.
-            # Row r is selected with a one-hot mask — indexing a traced r
-            # into a value is a dynamic_slice, which pallas TPU can't lower.
-            is_r = sel == r                                    # (T, 1)
-            kept_r = jnp.any(keep_col & is_r)                  # scalar
-            kill = jnp.any(upper & is_r, axis=0).reshape(tile, 1)
-            return keep_col & ~(kill & kept_r)
+        def fix_cond(kk):
+            k_old, k_new = kk
+            return jnp.any(k_old != k_new)
 
-        keep_row = lax.fori_loop(0, tile, row_body, keep_row)
+        def fix_body(kk):
+            _, k = kk
+            return k, step(k)
+
+        k0 = valid_col
+        _, keep_col = lax.while_loop(fix_cond, fix_body, (k0, step(k0)))
 
         # cross-tile: tile survivors kill every later box
-        killed = jnp.any(over & keep_row, axis=0, keepdims=True)  # (1, N)
-        later = pos >= start + tile
-        keep_all = keep_ref[:]
-        keep_all = keep_all & ~(killed & later)
-        keep_ref[:] = keep_all
-        keep_ref[0, pl.ds(start, tile)] = keep_row.reshape(tile)
+        killed_n = jnp.max(over * keep_col, axis=0, keepdims=True)  # (1, N)
+        later = (pos >= start + tile).astype(jnp.int32)
+        keep_ref[:] = keep_ref[:] * (1 - killed_n * later)
+        keep_ref[0, pl.ds(start, tile)] = keep_col.reshape(tile)
         return 0
 
     lax.fori_loop(0, num_tiles, tile_body, 0)
@@ -141,7 +153,7 @@ def nms_padded_pallas(
     valid: jnp.ndarray,
     iou_thresh,
     max_out: int,
-    tile: int = 128,
+    tile: int = 256,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Drop-in Pallas variant of ``trcnn.ops.nms.nms_padded``."""
@@ -162,15 +174,16 @@ def nms_padded_pallas(
     x2 = (sboxes[:, 2] + far).reshape(1, n)
     y2 = (sboxes[:, 3] + far).reshape(1, n)
 
-    keep = pl.pallas_call(
+    keep_i32 = pl.pallas_call(
         functools.partial(_suppression_kernel, tile=tile),
-        out_shape=jax.ShapeDtypeStruct((1, n), jnp.bool_),
+        out_shape=jax.ShapeDtypeStruct((1, n), jnp.int32),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5
         + [pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(x1, y1, x2, y2, svalid.reshape(1, n),
+    )(x1, y1, x2, y2, svalid.reshape(1, n).astype(jnp.int32),
       jnp.asarray([iou_thresh], jnp.float32))[0]
+    keep = keep_i32 != 0
 
     pos = jnp.arange(n, dtype=jnp.int32)
     sel_key = jnp.where(keep, pos, n)
