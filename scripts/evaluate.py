@@ -17,8 +17,14 @@ sys.path.insert(0, __file__.rsplit("/scripts/", 1)[0])
 
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--dataset", default="voc", choices=["voc", "synthetic"])
-    ap.add_argument("--dataset_root", default=None)
+    ap.add_argument("--dataset", default="voc",
+                    choices=["voc", "coco", "synthetic"])
+    ap.add_argument("--dataset_root", default=None,
+                    help="VOCdevkit/VOC2007 root, or COCO image dir")
+    ap.add_argument("--ann_file", default=None,
+                    help="COCO instances json (with --dataset coco)")
+    ap.add_argument("--metric", default=None, choices=["voc07", "voc", "coco"],
+                    help="AP protocol (default: matches the dataset)")
     ap.add_argument("--split", default="test")
     ap.add_argument("--pretrained_model", default=None)
     ap.add_argument("--checkpoint_dir", default=None,
@@ -34,22 +40,30 @@ def main() -> int:
     import jax
     import numpy as np
 
-    from trcnn.config import VOC_CLASSES, voc_config
-    from trcnn.data import DetectionLoader, SyntheticDetection, VOCDetection
+    from trcnn.config import VOC_CLASSES, coco_config, voc_config
+    from trcnn.data import (COCODetection, DetectionLoader,
+                            SyntheticDetection, VOCDetection)
     from trcnn.eval.voc_ap import build_records, voc_mean_ap
     from trcnn.models import make_model
     from trcnn.train.step import make_detect_step, make_mesh
 
-    cfg = voc_config()
-    if args.backbone != "vgg16":
-        cfg = cfg.replace(backbone=args.backbone)
-
+    class_names = VOC_CLASSES
     if args.dataset == "voc":
+        cfg = voc_config()
         if not args.dataset_root:
             ap.error("--dataset voc requires --dataset_root")
         ds = VOCDetection(args.dataset_root, args.split, use_difficult=True)
+    elif args.dataset == "coco":
+        cfg = coco_config()
+        if not (args.dataset_root and args.ann_file):
+            ap.error("--dataset coco requires --dataset_root and --ann_file")
+        ds = COCODetection(args.dataset_root, args.ann_file, use_crowd=True)
+        class_names = ds.class_names
     else:
+        cfg = voc_config()
         ds = SyntheticDetection(n=64, num_classes=cfg.num_classes)
+    if args.backbone != "vgg16":
+        cfg = cfg.replace(backbone=args.backbone)
     if args.limit:
         ds.ids = ds.ids[: args.limit] if hasattr(ds, "ids") else ds
         if hasattr(ds, "n"):
@@ -115,14 +129,26 @@ def main() -> int:
             "boxes": ex["boxes"], "labels": ex["labels"],
             "difficult": ex.get("difficult",
                                 np.zeros(len(ex["labels"]), bool)),
+            "crowd": ex.get("difficult",
+                            np.zeros(len(ex["labels"]), bool)),
         }
 
-    records = build_records(VOC_CLASSES, detections, annotations)
-    mean_ap, aps = voc_mean_ap(records, use_07_metric=args.use_07_metric)
-    for name, ap_v in sorted(aps.items()):
-        print(f"  AP[{name:>12s}] = {ap_v:.4f}")
-    print(f"mAP = {mean_ap:.4f}  ({n_img} images, "
-          f"{n_img / max(t_total, 1e-9):.1f} img/s incl. compile)")
+    metric = args.metric or ("coco" if args.dataset == "coco" else "voc07")
+    if metric == "coco":
+        from trcnn.eval.coco_ap import coco_eval
+
+        res = coco_eval(detections, annotations, len(class_names))
+        print(f"AP={res['AP']:.4f} AP50={res['AP50']:.4f} "
+              f"AP75={res['AP75']:.4f}  ({n_img} images, "
+              f"{n_img / max(t_total, 1e-9):.1f} img/s incl. compile)")
+    else:
+        records = build_records(class_names, detections, annotations)
+        mean_ap, aps = voc_mean_ap(records,
+                                   use_07_metric=(metric == "voc07"))
+        for name, ap_v in sorted(aps.items()):
+            print(f"  AP[{name:>12s}] = {ap_v:.4f}")
+        print(f"mAP = {mean_ap:.4f}  ({n_img} images, "
+              f"{n_img / max(t_total, 1e-9):.1f} img/s incl. compile)")
     return 0
 
 
