@@ -115,6 +115,53 @@ def _forward(feat: jnp.ndarray, rois: jnp.ndarray, out_size: int,
     )(packed, feat)
 
 
+def _bwd_kernel(bounds_ref, feat_ref, pooled_ref, g_ref, dfeat_ref, *,
+                out_size: int, mbh: int, feat_h: int, feat_w: int,
+                feat_c: int, num_rois: int):
+    """Gradient scatter: dfeat[y,x,c] += g[bin,c]/|argmax set| for every
+    bin whose max the cell attains (even tie-split — matching the XLA
+    reduce_max VJP the previous backward used).  The dfeat block for image
+    b stays VMEM-resident across all R programs (same index_map) and
+    accumulates in f32."""
+    # grid is (B, C-blocks, R) with R innermost so the dfeat block for a
+    # given (image, channel-block) stays VMEM-resident while every RoI
+    # accumulates into it; channel blocking bounds the VMEM stack (full
+    # f32 512-channel blocks overflow the 16 MB scoped budget)
+    b = pl.program_id(0)
+    r = pl.program_id(2)
+    base = (b * num_rois + r) * out_size
+    col_idx = lax.broadcasted_iota(jnp.int32, (feat_w, feat_c), 0)
+
+    @pl.when(r == 0)
+    def _init():
+        dfeat_ref[...] = jnp.zeros_like(dfeat_ref)
+
+    for ph in range(out_size):
+        packed_h = bounds_ref[base + ph]
+        hs = packed_h & 0xFF
+        he = (packed_h >> 8) & 0xFF
+        hs_c = jnp.clip(hs, 0, max(feat_h - mbh, 0))
+        rows = feat_ref[0, pl.ds(hs_c, mbh), :, :].astype(jnp.float32)
+        dband = jnp.zeros((mbh, feat_w, feat_c), jnp.float32)
+        for pw in range(out_size):
+            packed_w = bounds_ref[base + pw]
+            ws = (packed_w >> 16) & 0xFF
+            we = (packed_w >> 24) & 0xFF
+            binmax = pooled_ref[0, 0, ph, pw, :].astype(jnp.float32)
+            gbin = g_ref[0, 0, ph, pw, :].astype(jnp.float32)
+            cmask = (col_idx >= ws) & (col_idx < we)          # (W, C)
+            band_rows = (lax.broadcasted_iota(
+                jnp.int32, (mbh, feat_w, feat_c), 0) + hs_c)
+            rmask = (band_rows >= hs) & (band_rows < he)      # (MBH, W, C)
+            hit = rmask & cmask[None] & (rows == binmax)
+            eq_f = jnp.where(hit, 1.0, 0.0)
+            count = jnp.sum(eq_f, axis=(0, 1))                # (C,)
+            scale = gbin / jnp.maximum(count, 1.0)
+            dband = dband + eq_f * scale
+        cur = dfeat_ref[0, pl.ds(hs_c, mbh), :, :]
+        dfeat_ref[0, pl.ds(hs_c, mbh), :, :] = cur + dband
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def roi_max_pool_pallas(feat: jnp.ndarray, rois: jnp.ndarray,
                         out_size: int = 7,
@@ -126,20 +173,64 @@ def roi_max_pool_pallas(feat: jnp.ndarray, rois: jnp.ndarray,
 
 
 def _fwd(feat, rois, out_size, spatial_scale, interpret):
-    return _forward(feat, rois, out_size, spatial_scale, interpret), (feat, rois)
+    out = _forward(feat, rois, out_size, spatial_scale, interpret)
+    return out, (feat, rois, out)
+
+
+def _backward_pallas(feat, rois, pooled, g, out_size, spatial_scale,
+                     interpret):
+    b, h, w, c = feat.shape
+    r = rois.shape[1]
+    mbh = max_bin_extent(h, out_size)
+    bounds = jax.vmap(
+        lambda rr: roi_bin_bounds(rr, spatial_scale, out_size, h, w)
+    )(rois)
+    hs, he, ws, we = (x.astype(jnp.int32).reshape(-1) for x in bounds)
+    packed = hs | (he << 8) | (ws << 16) | (we << 24)
+
+    cblock = c if c % 256 or c <= 256 else 256
+    ncb = c // cblock
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, ncb, r),
+        in_specs=[
+            pl.BlockSpec((1, h, w, cblock),
+                         lambda bb, cc, rr, *_: (bb, 0, 0, cc),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, out_size, out_size, cblock),
+                         lambda bb, cc, rr, *_: (bb, rr, 0, 0, cc),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, out_size, out_size, cblock),
+                         lambda bb, cc, rr, *_: (bb, rr, 0, 0, cc),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, h, w, cblock),
+                               lambda bb, cc, rr, *_: (bb, 0, 0, cc),
+                               memory_space=pltpu.VMEM),
+    )
+    kern = functools.partial(_bwd_kernel, out_size=out_size, mbh=mbh,
+                             feat_h=h, feat_w=w, feat_c=cblock, num_rois=r)
+    dfeat = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((b, h, w, c), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(packed, feat, pooled, g)
+    return dfeat.astype(feat.dtype)
 
 
 def _bwd(out_size, spatial_scale, interpret, res, g):
-    feat, rois = res
-    # backward through the XLA formulation (same forward semantics ⇒ same
-    # argmax-scatter gradient); only runs when training differentiates
-    # through the pool.
-    xla = jax.vmap(functools.partial(
-        roi_max_pool, out_size=out_size, spatial_scale=spatial_scale))
-    # the XLA formulation promotes low-precision inputs to f32 internally;
-    # pin its output dtype to the kernel's so the cotangent types line up
-    _, vjp = jax.vjp(lambda f: xla(f, rois).astype(feat.dtype), feat)
-    (dfeat,) = vjp(g.astype(feat.dtype))
+    feat, rois, pooled = res
+    if jax.default_backend() == "cpu" and not interpret:
+        # CPU fallback: differentiate the XLA formulation (same forward
+        # semantics ⇒ same even-tie-split gradient)
+        xla = jax.vmap(functools.partial(
+            roi_max_pool, out_size=out_size, spatial_scale=spatial_scale))
+        _, vjp = jax.vjp(lambda f: xla(f, rois).astype(feat.dtype), feat)
+        (dfeat,) = vjp(g.astype(feat.dtype))
+    else:
+        dfeat = _backward_pallas(feat, rois, pooled, g, out_size,
+                                 spatial_scale, interpret)
     return dfeat, jnp.zeros_like(rois)
 
 
