@@ -1,0 +1,74 @@
+"""Pallas RoI-pool kernel parity (interpret mode on CPU — SURVEY.md §6.2).
+
+Forward vs the numpy Caffe-f32-bin-math oracle; backward vs the XLA
+formulation's VJP (even tie-split, the jnp.max gradient semantics)."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from trcnn.ops.roi_pool import roi_max_pool, roi_max_pool_oracle_numpy
+from trcnn.ops.roi_pool_pallas import roi_max_pool_pallas
+
+
+def _fixture(seed, B=2, H=38, W=64, C=16, R=24):
+    r = np.random.RandomState(seed)
+    feat = r.randn(B, H, W, C).astype(np.float32)
+    x1 = r.uniform(0, 900, (B, R))
+    y1 = r.uniform(0, 500, (B, R))
+    rois = np.stack([x1, y1,
+                     np.minimum(x1 + r.uniform(5, 600, (B, R)), 1015),
+                     np.minimum(y1 + r.uniform(5, 400, (B, R)), 599)],
+                    -1).astype(np.float32)
+    return feat, rois
+
+
+def test_forward_matches_oracle_interpret():
+    feat, rois = _fixture(0)
+    got = np.asarray(roi_max_pool_pallas(
+        jnp.asarray(feat), jnp.asarray(rois), 7, 1 / 16.0, True))
+    for b in range(feat.shape[0]):
+        np.testing.assert_allclose(
+            got[b], roi_max_pool_oracle_numpy(feat[b], rois[b]), atol=1e-5)
+
+
+def test_backward_matches_xla_vjp_interpret():
+    # C=512 also exercises the 256-channel grid blocking
+    feat, rois = _fixture(1, C=512, R=12)
+    g = np.random.RandomState(2).randn(
+        feat.shape[0], rois.shape[1], 7, 7, feat.shape[-1]).astype(np.float32)
+    d_pal = jax.vjp(
+        lambda f: roi_max_pool_pallas(f, jnp.asarray(rois), 7, 1 / 16.0, True),
+        jnp.asarray(feat))[1](jnp.asarray(g))[0]
+    xla = jax.vmap(functools.partial(roi_max_pool, out_size=7,
+                                     spatial_scale=1 / 16.0))
+    d_xla = jax.vjp(lambda f: xla(f, jnp.asarray(rois)),
+                    jnp.asarray(feat))[1](jnp.asarray(g))[0]
+    np.testing.assert_allclose(np.asarray(d_pal), np.asarray(d_xla),
+                               atol=1e-4)
+
+
+def test_backward_even_tie_split_interpret():
+    """Crafted tie: two cells share a bin max -> each gets g/2 (the
+    jnp.max VJP semantics both implementations follow)."""
+    feat = np.zeros((1, 38, 64, 8), np.float32)
+    feat[0, 2, 2, :] = 5.0
+    feat[0, 2, 3, :] = 5.0  # tie inside bin (0,0) of a 112x112 roi
+    rois = np.asarray([[[0.0, 0.0, 111.0, 111.0]]], np.float32)
+    g = np.zeros((1, 1, 7, 7, 8), np.float32)
+    g[0, 0, 0, 2] = 2.0  # bin (0,2) covers cols 2..3 at rows 0..1? ensure hit
+    # place gradient on the bin containing (2,2)/(2,3): roi 112px/16 = 7
+    # cells; bins are 1x1 cells -> bin (2,2) and (2,3) each hold one cell,
+    # so use a wider roi instead:
+    rois = np.asarray([[[0.0, 0.0, 1015.0, 599.0]]], np.float32)
+    g = np.zeros((1, 1, 7, 7, 8), np.float32)
+    g[0, 0, 0, 0] = 2.0  # bin (0,0) spans rows 0..5, cols 0..9 -> both cells
+    d = jax.vjp(
+        lambda f: roi_max_pool_pallas(f, jnp.asarray(rois), 7, 1 / 16.0, True),
+        jnp.asarray(feat))[1](jnp.asarray(g))[0]
+    d = np.asarray(d)
+    np.testing.assert_allclose(d[0, 2, 2], 1.0)
+    np.testing.assert_allclose(d[0, 2, 3], 1.0)
+    assert np.abs(d).sum() == np.abs(d[0, 2, 2:4]).sum()
