@@ -33,3 +33,12 @@ Package map (mirrors SURVEY.md §10):
 __version__ = "0.1.0"
 
 from trcnn import config  # noqa: F401
+from trcnn.config import FasterRCNNConfig, coco_config, voc_config  # noqa: F401
+
+
+def make_model(*args, **kwargs):
+    """Convenience re-export of :func:`trcnn.models.make_model` (lazy —
+    importing trcnn must not pull in flax/jax for data-only users)."""
+    from trcnn.models import make_model as _mk
+
+    return _mk(*args, **kwargs)
