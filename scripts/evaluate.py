@@ -75,7 +75,7 @@ def main() -> int:
     first = next(iter(loader))
     if args.pretrained_model:
         from trcnn.convert import import_chainer_npz
-        params = import_chainer_npz(args.pretrained_model, cfg)
+        params = jax.device_put(import_chainer_npz(args.pretrained_model, cfg))
     elif args.checkpoint_dir:
         import orbax.checkpoint as ocp
         from trcnn.train import TrainState, make_optimizer
@@ -88,7 +88,7 @@ def main() -> int:
         tmpl = jax.tree.map(np.asarray, TrainState.create(init_params, tx))
         restored = mgr.restore(mgr.latest_step(),
                                args=ocp.args.StandardRestore(tmpl))
-        params = restored.params
+        params = jax.device_put(restored.params)  # numpy tree otherwise
         print(f"restored step {mgr.latest_step()}")
     else:
         print("[warn] random init (smoke mode)", file=sys.stderr)

@@ -67,7 +67,9 @@ def main() -> int:
     model = make_model(cfg)
     if args.pretrained_model:
         from trcnn.convert import import_chainer_npz
-        params = import_chainer_npz(args.pretrained_model, cfg)
+        # device_put once — a host-numpy param tree would re-upload on
+        # every jitted call
+        params = jax.device_put(import_chainer_npz(args.pretrained_model, cfg))
     else:
         print("[warn] no --pretrained_model: using random init "
               "(smoke-test mode)", file=sys.stderr)
