@@ -1,0 +1,114 @@
+#!/usr/bin/env python
+"""XLA vs Pallas NMS device benchmark (VERDICT r1 item 4: wire or retire).
+
+Measures both implementations at the two production shapes:
+  * test-time proposal NMS: 6000 boxes → 300 survivors @0.7
+  * train-time proposal NMS: 12000 boxes → 2000 survivors @0.7
+on a REALISTIC clustered score/box distribution (objects attract many
+overlapping high-scoring proposals — the regime where suppression chains
+are deep and the early-exit/trip-count behavior differs from uniform
+random boxes), plus the uniform-random distribution for reference.
+
+    python benchmarks/bench_nms.py [--iters 30]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+sys.path.insert(0, __file__.rsplit("/benchmarks/", 1)[0])
+
+import numpy as np
+
+
+def clustered_boxes(rng, n, im_w=1000.0, im_h=600.0, n_clusters=12):
+    """Proposal-like distribution: most boxes pile onto a few objects."""
+    cx = rng.uniform(100, im_w - 100, n_clusters)
+    cy = rng.uniform(80, im_h - 80, n_clusters)
+    cw = rng.uniform(60, 260, n_clusters)
+    ch = rng.uniform(60, 200, n_clusters)
+    k = rng.randint(0, n_clusters, n)
+    jx = rng.normal(0, 18, n)
+    jy = rng.normal(0, 18, n)
+    sw = cw[k] * rng.uniform(0.75, 1.3, n)
+    sh = ch[k] * rng.uniform(0.75, 1.3, n)
+    x1 = np.clip(cx[k] + jx - sw / 2, 0, im_w - 2)
+    y1 = np.clip(cy[k] + jy - sh / 2, 0, im_h - 2)
+    x2 = np.clip(x1 + sw, x1 + 1, im_w - 1)
+    y2 = np.clip(y1 + sh, y1 + 1, im_h - 1)
+    boxes = np.stack([x1, y1, x2, y2], 1).astype(np.float32)
+    # scores correlate with overlap(cluster center) + noise
+    scores = (0.6 + 0.4 * rng.rand(n)).astype(np.float32)
+    return boxes, scores
+
+
+def uniform_boxes(rng, n, im_w=1000.0, im_h=600.0):
+    x1 = rng.uniform(0, im_w - 10, n)
+    y1 = rng.uniform(0, im_h - 10, n)
+    w = rng.uniform(8, im_w / 2, n)
+    h = rng.uniform(8, im_h / 2, n)
+    boxes = np.stack([x1, y1, np.minimum(x1 + w, im_w - 1),
+                      np.minimum(y1 + h, im_h - 1)], 1).astype(np.float32)
+    return boxes, rng.rand(n).astype(np.float32)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument("--thresh", type=float, default=0.7)
+    ap.add_argument("--check_parity", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from trcnn.ops.nms import nms_oracle_numpy, nms_padded
+    from trcnn.ops.nms_pallas import nms_padded_pallas
+    from trcnn.utils.profiling import time_fn
+
+    rng = np.random.RandomState(0)
+    shapes = [("test_6000_to_300", 6000, 300), ("train_12000_to_2000", 12000, 2000)]
+    results = {}
+    for dist_name, gen in (("clustered", clustered_boxes),
+                           ("uniform", uniform_boxes)):
+        for name, n, k in shapes:
+            boxes, scores = gen(rng, n)
+            b = jnp.asarray(boxes)
+            s = jnp.asarray(scores)
+            v = jnp.ones((n,), bool)
+
+            t_xla, out_xla = time_fn(
+                lambda: nms_padded(b, s, v, args.thresh, max_out=k),
+                iters=args.iters)
+            row = {"xla_ms": round(t_xla * 1e3, 3)}
+            try:
+                t_pal, out_pal = time_fn(
+                    lambda: nms_padded_pallas(b, s, v, args.thresh,
+                                              max_out=k),
+                    iters=args.iters)
+                row["pallas_ms"] = round(t_pal * 1e3, 3)
+                same = bool(
+                    np.array_equal(np.asarray(out_xla[0])[np.asarray(out_xla[1])],
+                                   np.asarray(out_pal[0])[np.asarray(out_pal[1])]))
+                row["keep_sets_equal"] = same
+            except Exception as e:  # pallas may fail at shapes beyond VMEM
+                row["pallas_error"] = f"{type(e).__name__}: {e}"[:200]
+
+            if args.check_parity:
+                keep_ref = nms_oracle_numpy(boxes, scores, args.thresh)[:k]
+                got = list(np.asarray(out_xla[0])[np.asarray(out_xla[1])])
+                row["oracle_equal"] = got == keep_ref
+
+            n_kept = int(np.asarray(out_xla[1]).sum())
+            row["survivors"] = n_kept
+            results[f"{dist_name}/{name}"] = row
+            print(f"{dist_name}/{name}: {row}", flush=True)
+
+    print(json.dumps(results))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

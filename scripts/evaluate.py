@@ -35,6 +35,9 @@ def main() -> int:
     ap.add_argument("--use_07_metric", action="store_true", default=True)
     ap.add_argument("--limit", type=int, default=None,
                     help="evaluate only the first N images")
+    ap.add_argument("--write_dets", default=None, metavar="DIR",
+                    help="also write VOC-devkit comp4_det_<split>_<class>"
+                         ".txt files to DIR (external devkit re-scoring)")
     args = ap.parse_args()
 
     import jax
@@ -43,9 +46,10 @@ def main() -> int:
     from trcnn.config import VOC_CLASSES, coco_config, voc_config
     from trcnn.data import (COCODetection, DetectionLoader,
                             SyntheticDetection, VOCDetection)
+    from trcnn.eval import Evaluator
     from trcnn.eval.voc_ap import build_records, voc_mean_ap
     from trcnn.models import make_model
-    from trcnn.train.step import make_detect_step, make_mesh
+    from trcnn.train.step import make_mesh
 
     class_names = VOC_CLASSES
     if args.dataset == "voc":
@@ -64,18 +68,13 @@ def main() -> int:
         ds = SyntheticDetection(n=64, num_classes=cfg.num_classes)
     if args.backbone != "vgg16":
         cfg = cfg.replace(backbone=args.backbone)
-    if args.limit:
-        ds.ids = ds.ids[: args.limit] if hasattr(ds, "ids") else ds
-        if hasattr(ds, "n"):
-            ds.n = min(ds.n, args.limit)
 
     model = make_model(cfg)
-    loader = DetectionLoader(ds, batch_size=args.batch_size,
-                             image_cfg=cfg.image)
-    first = next(iter(loader))
+    first = next(iter(DetectionLoader(ds, batch_size=args.batch_size,
+                                      image_cfg=cfg.image)))
     if args.pretrained_model:
-        from trcnn.convert import import_chainer_npz
-        params = jax.device_put(import_chainer_npz(args.pretrained_model, cfg))
+        from trcnn.convert import import_weights
+        params = jax.device_put(import_weights(args.pretrained_model, cfg))
     elif args.checkpoint_dir:
         import orbax.checkpoint as ocp
         from trcnn.train import TrainState, make_optimizer
@@ -97,43 +96,25 @@ def main() -> int:
                                      np.asarray(first.im_info))
 
     mesh = make_mesh() if jax.device_count() > 1 else None
-    detect = make_detect_step(model, cfg, mesh)
-
-    detections, annotations = [], {}
-    n_img = 0
-    t_total = 0.0
-    seen = set()
-    for batch in loader:
-        t0 = time.time()
-        dets = jax.block_until_ready(
-            detect(params, batch.images, batch.im_info))
-        t_total += time.time() - t0
-        boxes = np.asarray(dets.boxes)
-        scores = np.asarray(dets.scores)
-        classes = np.asarray(dets.classes)
-        valid = np.asarray(dets.valid)
-        for i, iid in enumerate(batch.ids):
-            if iid in seen:  # padded duplicate in the final partial batch
-                continue
-            seen.add(iid)
-            v = valid[i]
-            detections.append({
-                "id": iid, "boxes": boxes[i, v], "scores": scores[i, v],
-                "classes": classes[i, v]})
-            n_img += 1
-
-    # gather annotations straight from the dataset (original image coords)
-    for idx in range(len(ds)):
-        ex = ds.get_example(idx)
-        annotations[ex["id"]] = {
-            "boxes": ex["boxes"], "labels": ex["labels"],
-            "difficult": ex.get("difficult",
-                                np.zeros(len(ex["labels"]), bool)),
-            "crowd": ex.get("difficult",
-                            np.zeros(len(ex["labels"]), bool)),
-        }
-
     metric = args.metric or ("coco" if args.dataset == "coco" else "voc07")
+    evaluator = Evaluator(model, cfg, ds, class_names=class_names,
+                          batch_size=args.batch_size, limit=args.limit,
+                          metric=metric, mesh=mesh)
+
+    t0 = time.time()
+    detections = evaluator.collect_detections(params)
+    t_total = time.time() - t0
+    # annotations from XML/JSON only — no second image decode pass
+    annotations = evaluator.annotations()
+    n_img = len(detections)
+
+    if args.write_dets:
+        from trcnn.eval.voc_ap import write_voc_detection_files
+        paths = write_voc_detection_files(class_names, detections,
+                                          args.write_dets, split=args.split)
+        print(f"wrote {len(paths)} devkit detection files to "
+              f"{args.write_dets}")
+
     if metric == "coco":
         from trcnn.eval.coco_ap import coco_eval
 

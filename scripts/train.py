@@ -48,10 +48,36 @@ def main() -> int:
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--log_every", type=int, default=20)
     ap.add_argument("--checkpoint_every", type=int, default=5000)
+    ap.add_argument("--eval_every", type=int, default=0,
+                    help="run held-out mAP evaluation every N steps "
+                         "(0 = off); logs eval_mAP to stdout + writer")
+    ap.add_argument("--eval_split", default="test",
+                    help="VOC split for in-training eval")
+    ap.add_argument("--eval_limit", type=int, default=500,
+                    help="cap in-training eval to N images (full eval via "
+                         "scripts/evaluate.py)")
+    ap.add_argument("--no_writer", action="store_true",
+                    help="disable the TensorBoard metric writer under "
+                         "--out (stdout JSON-lines always on)")
     ap.add_argument("--no_mesh", action="store_true",
                     help="single-device jit (CPU debug path)")
+    ap.add_argument("--coordinator", default=None, metavar="HOST:PORT",
+                    help="multi-host: jax.distributed coordinator address "
+                         "(process 0's). With no --num_processes the "
+                         "cluster env auto-detects (Cloud TPU pods)")
+    ap.add_argument("--num_processes", type=int, default=None,
+                    help="multi-host: total process count")
+    ap.add_argument("--process_id", type=int, default=None,
+                    help="multi-host: this process's rank")
+    ap.add_argument("--distributed", action="store_true",
+                    help="multi-host: auto-detect everything from the "
+                         "cluster environment (TPU pod metadata)")
     ap.add_argument("--gpu", type=int, default=-1, help="ignored (CLI parity)")
     args = ap.parse_args()
+
+    if args.distributed or args.coordinator:
+        from trcnn.parallel import initialize
+        initialize(args.coordinator, args.num_processes, args.process_id)
 
     import jax
     import numpy as np
@@ -74,26 +100,63 @@ def main() -> int:
     else:
         ds = SyntheticDetection(n=512, num_classes=cfg.num_classes,
                                 seed=args.seed)
-    print(f"dataset: {args.dataset} ({len(ds)} images), "
-          f"devices: {jax.device_count()}", flush=True)
+    n_proc = jax.process_count()
+    if jax.process_index() == 0:
+        print(f"dataset: {args.dataset} ({len(ds)} images), "
+              f"devices: {jax.device_count()} over {n_proc} process(es)",
+              flush=True)
+    if args.batch_size % n_proc:
+        ap.error(f"--batch_size {args.batch_size} must divide by the "
+                 f"process count {n_proc} (it is the GLOBAL batch)")
 
     loader = DetectionLoader(
-        ds, batch_size=args.batch_size, image_cfg=cfg.image,
+        ds, batch_size=args.batch_size // n_proc, image_cfg=cfg.image,
         augment=True, shuffle=True, repeat=True, seed=args.seed,
-        uint8_images=(args.transfer == "uint8"))
+        uint8_images=(args.transfer == "uint8"),
+        shard_id=jax.process_index(), num_shards=n_proc)
 
     import jax.numpy as jnp
     model = make_model(cfg, dtype=jnp.bfloat16 if args.dtype == "bfloat16"
                        else jnp.float32)
-    ex = next(iter(DetectionLoader(ds, batch_size=args.batch_size,
+    ex = next(iter(DetectionLoader(ds, batch_size=args.batch_size // n_proc,
                                    image_cfg=cfg.image)))
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(args.seed),
+        np.asarray(ex.images), np.asarray(ex.im_info))
     if args.pretrained_model:
-        from trcnn.convert import import_chainer_npz
-        params = import_chainer_npz(args.pretrained_model, cfg, strict=False)
-    else:
-        params = jax.jit(model.init)(
-            jax.random.PRNGKey(args.seed),
-            np.asarray(ex.images), np.asarray(ex.im_info))
+        # strict=False returns only the subtrees present in the npz (an
+        # ImageNet trunk npz carries no rpn/head); overlay them on the
+        # fresh init so every layer exists (ADVICE r1: warm-start crash)
+        from trcnn.convert import import_weights, merge_params
+        imported = import_weights(args.pretrained_model, cfg, strict=False)
+        n_layers = sum(len(v) for v in imported["params"].values())
+        print(f"warm-start: {n_layers} layers from "
+              f"{args.pretrained_model}", flush=True)
+        params = merge_params(jax.tree.map(np.asarray, params), imported)
+
+    # observability: clu metric writer (TensorBoard summaries under
+    # --out/tb when the tensorboard writer backend exists, else logging)
+    writer = None
+    if args.out and not args.no_writer and jax.process_index() == 0:
+        try:
+            from clu import metric_writers
+            writer = metric_writers.create_default_writer(
+                f"{args.out}/tb", just_logging=False)
+        except Exception as e:  # clu present but no TF/TB backend
+            print(f"[train] metric writer unavailable ({e}); "
+                  "stdout JSON-lines only", flush=True)
+
+    evaluator = None
+    if args.eval_every:
+        from trcnn.eval import Evaluator
+        if args.dataset == "voc":
+            eval_ds = VOCDetection(args.dataset_root, args.eval_split,
+                                   use_difficult=True)
+        else:
+            eval_ds = SyntheticDetection(n=64, num_classes=cfg.num_classes,
+                                         seed=args.seed + 1)
+        evaluator = Evaluator(model, cfg, eval_ds, limit=args.eval_limit,
+                              batch_size=max(args.batch_size // n_proc, 1))
 
     trainer = Trainer(model, params, cfg, TrainConfig(
         total_iters=args.iters,
@@ -102,8 +165,12 @@ def main() -> int:
         checkpoint_dir=args.out,
         seed=args.seed,
         use_mesh=not args.no_mesh,
-    ))
+        metric_writer=writer,
+        eval_every=args.eval_every,
+    ), evaluator=evaluator)
     trainer.fit(iter(loader))
+    if writer is not None:
+        writer.flush()
     print("training done", flush=True)
     return 0
 

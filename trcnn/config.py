@@ -61,6 +61,11 @@ class ProposalConfig:
     post_nms_topk_test: int = 300
     nms_thresh: float = 0.7
     min_size: float = 16.0  # scaled by im_scale at call time
+    # proposal-NMS kernel: "xla" (portable fixpoint spec, trcnn/ops/nms.py)
+    # or "pallas" (VMEM-resident kernel, trcnn/ops/nms_pallas.py); both are
+    # exactly greedy — selection is a pure performance choice, benchmarked
+    # per shape in benchmarks/bench_nms.py
+    nms_impl: str = "xla"
 
     def pre_nms_topk(self, train: bool) -> int:
         return self.pre_nms_topk_train if train else self.pre_nms_topk_test

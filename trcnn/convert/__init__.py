@@ -2,6 +2,18 @@
 
 from trcnn.convert.chainer_npz import (import_chainer_npz,
                                        export_chainer_npz,
+                                       merge_params,
                                        permute_fc6_kernel)
+from trcnn.convert.resnet_npz import import_resnet101_npz
 
-__all__ = ["import_chainer_npz", "export_chainer_npz", "permute_fc6_kernel"]
+
+def import_weights(path_or_dict, cfg, strict: bool = True):
+    """Backbone-dispatching import: VGG detectors go through the chainer
+    npz mapping, ResNet-101 through the torchvision/chainercv mapping."""
+    if getattr(cfg, "backbone", "vgg16") == "resnet101":
+        return import_resnet101_npz(path_or_dict, cfg, strict=strict)
+    return import_chainer_npz(path_or_dict, cfg, strict=strict)
+
+
+__all__ = ["import_chainer_npz", "export_chainer_npz", "merge_params",
+           "permute_fc6_kernel", "import_resnet101_npz", "import_weights"]

@@ -93,8 +93,11 @@ def import_chainer_npz(
       path_or_dict: npz path or an already-loaded {key: array} mapping.
       normalize_bbox_pred: apply fix-up 3 (True for 'final' detection
         weights; False for trees that never baked the unnormalization in).
-      strict: raise if a required tensor is missing (else skip it, leaving
-        the caller's init values in place for that layer).
+      strict: raise if a required tensor is missing.  With strict=False the
+        returned tree is PARTIAL — it contains only the layers found in the
+        npz (the ImageNet-trunk warm-start case).  It cannot be fed to
+        ``model.apply`` directly; overlay it onto a full init tree with
+        :func:`merge_params` first (scripts/train.py does this).
     """
     if isinstance(path_or_dict, (str, bytes)):
         npz = dict(np.load(path_or_dict, allow_pickle=False))
@@ -155,7 +158,33 @@ def import_chainer_npz(
 
     if strict and missing:
         raise KeyError(f"missing tensors in chainer npz: {missing}")
+    if not strict:
+        # drop empty module subtrees so merge_params only overlays what the
+        # npz actually provided (an ImageNet trunk npz has no rpn/head)
+        params = {k: {sk: sv for sk, sv in v.items() if sv}
+                  for k, v in params.items()}
+        params = {k: v for k, v in params.items() if v}
     return {"params": params}
+
+
+def merge_params(base, overlay):
+    """Deep-merge ``overlay`` onto a copy of ``base`` (dicts recurse, any
+    non-dict leaf in overlay replaces base's).  The ImageNet warm-start
+    path: ``merge_params(jit(model.init)(...), import_chainer_npz(path,
+    strict=False))`` keeps freshly initialized rpn/head params while the
+    trunk (and fc6/fc7 when present) come from the npz."""
+    if not isinstance(overlay, dict):
+        return overlay
+    if not isinstance(base, dict):
+        raise ValueError(
+            f"cannot overlay dict onto non-dict leaf {type(base).__name__}")
+    out = dict(base)
+    for k, v in overlay.items():
+        if k in out:
+            out[k] = merge_params(out[k], v)
+        else:
+            out[k] = v
+    return out
 
 
 def export_chainer_npz(params: Dict, path: str,

@@ -63,6 +63,12 @@ class COCODetection:
         img = cv2.imread(path, cv2.IMREAD_COLOR)
         if img is None:
             raise FileNotFoundError(path)
+        ann = self.get_annotation(i)
+        return {"image": img, **ann}
+
+    def get_annotation(self, i: int) -> dict:
+        """Annotation only — no image decode (evaluator gt pass)."""
+        img_id = self.ids[i]
         boxes, labels, crowd = [], [], []
         for a in self._anns[img_id]:
             if a.get("iscrowd", 0) and not self.use_crowd:
@@ -75,7 +81,6 @@ class COCODetection:
             crowd.append(bool(a.get("iscrowd", 0)))
         g = len(boxes)
         return {
-            "image": img,
             "boxes": np.asarray(boxes, np.float32).reshape(g, 4),
             "labels": np.asarray(labels, np.int32),
             "difficult": np.asarray(crowd, bool),

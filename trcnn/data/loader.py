@@ -42,6 +42,11 @@ class DetectionLoader:
       augment: horizontal flip with p=0.5 (the reference's only
         augmentation, SURVEY.md §8).
       shuffle/seed, repeat: iteration behavior; prefetch: queue depth.
+      shard_id/num_shards: multi-host data sharding — every process runs
+        the same seeded shuffle then keeps ids[shard_id::num_shards], so
+        shards are disjoint and deterministic; pass
+        (jax.process_index(), jax.process_count()) and a per-process
+        batch_size of global_batch // process_count.
     """
 
     def __init__(
@@ -57,7 +62,11 @@ class DetectionLoader:
         prefetch: int = 2,
         workers: int = 8,
         uint8_images: bool = False,
+        shard_id: int = 0,
+        num_shards: int = 1,
     ):
+        if not (0 <= shard_id < num_shards):
+            raise ValueError(f"shard_id {shard_id} not in [0, {num_shards})")
         self.dataset = dataset
         self.batch_size = batch_size
         self.max_boxes = max_boxes
@@ -69,9 +78,11 @@ class DetectionLoader:
         self.prefetch = prefetch
         self.workers = workers
         self.uint8_images = uint8_images
+        self.shard_id = shard_id
+        self.num_shards = num_shards
 
     def __len__(self) -> int:
-        n = len(self.dataset)
+        n = len(range(self.shard_id, len(self.dataset), self.num_shards))
         return (n + self.batch_size - 1) // self.batch_size
 
     # ---- single example -> padded arrays --------------------------------
@@ -119,6 +130,8 @@ class DetectionLoader:
             order = np.arange(len(self.dataset))
             if self.shuffle:
                 rng.shuffle(order)
+            if self.num_shards > 1:
+                order = order[self.shard_id::self.num_shards]
             yield from order
             epoch += 1
             if not self.repeat:
@@ -179,12 +192,15 @@ class DetectionLoader:
             return
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
+        err: list = []
 
         def worker():
             try:
                 for b in self._batches():
                     q.put(b)
-            finally:
+            except BaseException as e:  # surface in the consumer thread —
+                err.append(e)           # a swallowed decode/preprocess error
+            finally:                    # must not look like end-of-data
                 q.put(sentinel)
 
         t = threading.Thread(target=worker, daemon=True)
@@ -192,5 +208,8 @@ class DetectionLoader:
         while True:
             item = q.get()
             if item is sentinel:
+                if err:
+                    raise RuntimeError("DetectionLoader worker failed") \
+                        from err[0]
                 return
             yield item

@@ -49,4 +49,8 @@ class SyntheticDetection:
         return {"image": img, "boxes": boxes, "labels": labels,
                 "id": f"syn{i:06d}"}
 
+    def get_annotation(self, i: int) -> dict:
+        ex = self.get_example(i)  # generation is cheap; keep one code path
+        return {k: v for k, v in ex.items() if k != "image"}
+
     __getitem__ = get_example

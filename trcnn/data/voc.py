@@ -100,4 +100,15 @@ class VOCDetection:
         return {"image": img, "boxes": boxes, "labels": labels,
                 "difficult": difficult, "id": img_id}
 
+    def get_annotation(self, i: int) -> dict:
+        """Annotation only — no image decode (the evaluator's gt pass
+        needs just the XML; decoding every JPEG a second time is O(dataset)
+        wasted work)."""
+        img_id = self.ids[i]
+        boxes, labels, difficult = parse_voc_xml(
+            os.path.join(self.root, "Annotations", f"{img_id}.xml"),
+            self.use_difficult)
+        return {"boxes": boxes, "labels": labels, "difficult": difficult,
+                "id": img_id}
+
     __getitem__ = get_example

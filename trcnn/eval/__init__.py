@@ -6,8 +6,9 @@ tracked metric (BASELINE.json).
 """
 
 from trcnn.eval.voc_ap import (DetectionRecord, voc_ap, voc_eval_class,
-                               voc_mean_ap)
+                               voc_mean_ap, write_voc_detection_files)
 from trcnn.eval.coco_ap import coco_eval
+from trcnn.eval.evaluator import Evaluator
 
 __all__ = ["DetectionRecord", "voc_ap", "voc_eval_class", "voc_mean_ap",
-           "coco_eval"]
+           "write_voc_detection_files", "coco_eval", "Evaluator"]

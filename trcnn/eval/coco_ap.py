@@ -8,9 +8,13 @@ penalty; AP is the mean over the 10 thresholds .50:.05:.95 of the
 101-point-interpolated precision.  Area-range breakdowns (small/medium/
 large) follow the COCO definitions.
 
-IoU here uses the *continuous* convention (w = x2 − x1, no +1) to match
-COCOeval, unlike the VOC/+1 convention used in the detection pipeline
-itself.
+Box convention: this evaluator receives boxes in the pipeline's DISCRETE
++1 convention (COCODetection converts COCO xywh with x2 = x + w − 1, and
+the detector predicts in the same convention).  Computing IoU/areas here
+with w = x2 − x1 + 1 therefore reproduces COCOeval's *continuous*
+w = x2 − x1 on the original x2 = x + w boxes exactly — (x+w−1) − x + 1 = w
+(ADVICE r1: the previous continuous-IoU-on-discrete-boxes mix made every
+box 1px narrower than the COCOeval protocol).
 """
 
 from __future__ import annotations
@@ -30,20 +34,29 @@ AREA_RANGES = {
 
 
 def _iou_xyxy(det: np.ndarray, gt: np.ndarray, crowd: np.ndarray) -> np.ndarray:
-    """(D, G) IoU, continuous convention; for crowd gt the denominator is
+    """(D, G) IoU on discrete-convention boxes (w = x2−x1+1 ≡ COCOeval's
+    continuous w on the original boxes); for crowd gt the denominator is
     the detection area (COCO 'iscrowd' semantics)."""
     d = det[:, None, :]
     g = gt[None, :, :]
     iw = np.maximum(0.0, np.minimum(d[..., 2], g[..., 2]) -
-                    np.maximum(d[..., 0], g[..., 0]))
+                    np.maximum(d[..., 0], g[..., 0]) + 1.0)
     ih = np.maximum(0.0, np.minimum(d[..., 3], g[..., 3]) -
-                    np.maximum(d[..., 1], g[..., 1]))
+                    np.maximum(d[..., 1], g[..., 1]) + 1.0)
     inter = iw * ih
-    area_d = (det[:, 2] - det[:, 0]) * (det[:, 3] - det[:, 1])
-    area_g = (gt[:, 2] - gt[:, 0]) * (gt[:, 3] - gt[:, 1])
+    area_d = _area(det)
+    area_g = _area(gt)
     union = area_d[:, None] + area_g[None, :] - inter
     union = np.where(crowd[None, :], area_d[:, None], union)
     return np.where(union > 0, inter / union, 0.0)
+
+
+def _area(boxes: np.ndarray) -> np.ndarray:
+    """Discrete-convention box area ≡ original continuous w·h."""
+    if len(boxes) == 0:
+        return np.zeros((0,))
+    return ((boxes[:, 2] - boxes[:, 0] + 1.0) *
+            (boxes[:, 3] - boxes[:, 1] + 1.0))
 
 
 def _eval_image(dets: np.ndarray, det_scores: np.ndarray, gts: np.ndarray,
@@ -121,9 +134,7 @@ def coco_eval(
                 ann.get("crowd", np.zeros(len(gm), bool)), bool)
             crowd = (crowd_full[gm] if len(crowd_full) == len(gm)
                      else np.zeros(len(gboxes), bool))
-            areas_g = ((gboxes[:, 2] - gboxes[:, 0]) *
-                       (gboxes[:, 3] - gboxes[:, 1])) if len(gboxes) else \
-                np.zeros((0,))
+            areas_g = _area(gboxes)
             gt_ignore = crowd | (areas_g < lo) | (areas_g > hi)
             npos += int((~gt_ignore).sum())
 
@@ -131,9 +142,7 @@ def coco_eval(
                 dboxes, dscores, gboxes, crowd, gt_ignore, IOU_THRESHOLDS)
             # detection-side area filter: unmatched dets outside the range
             # are ignored, not penalized
-            areas_d = ((dboxes[:, 2] - dboxes[:, 0]) *
-                       (dboxes[:, 3] - dboxes[:, 1]))[order] \
-                if len(dboxes) else np.zeros((0,))
+            areas_d = _area(dboxes)[order] if len(dboxes) else np.zeros((0,))
             out_of_range = (areas_d < lo) | (areas_d > hi)
             ignore = ignore | (out_of_range[None, :] & ~tp)
             scores_all.append(dscores[order])

@@ -83,7 +83,9 @@ def voc_eval_class(rec: DetectionRecord, iou_thresh: float = 0.5,
             continue
         ious = _iou_one_to_many(boxes[d], np.asarray(gtb, np.float64))
         j = int(np.argmax(ious))
-        if ious[j] >= iou_thresh:
+        # devkit voc_eval matches on strictly ovmax > ovthresh; IoU exactly
+        # 0.5 is reachable with the +1 integer convention (ADVICE r1)
+        if ious[j] > iou_thresh:
             if rec.gt_difficult[iid][j]:
                 continue  # difficult: ignore entirely
             if not matched[iid][j]:
@@ -149,3 +151,33 @@ def build_records(
             gt_difficult=gt_diff,
         )
     return records
+
+
+def write_voc_detection_files(
+    class_names: Sequence[str],
+    detections: List[dict],
+    out_dir: str,
+    split: str = "test",
+    comp: str = "comp4",
+) -> List[str]:
+    """Write per-class VOC-devkit detection files
+    (``<comp>_det_<split>_<class>.txt``), one line per detection:
+    ``image_id score x1 y1 x2 y2`` with 1-based inclusive coordinates —
+    the format upstream test_net.py emits so the MATLAB/Python devkit can
+    re-score detections externally (SURVEY.md §4.5).  Returns the paths."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    paths = []
+    for ci in range(1, len(class_names)):
+        path = os.path.join(out_dir, f"{comp}_det_{split}_{class_names[ci]}.txt")
+        with open(path, "w") as f:
+            for det in detections:
+                m = np.asarray(det["classes"]) == ci
+                boxes = np.asarray(det["boxes"], np.float64)[m]
+                scores = np.asarray(det["scores"], np.float64)[m]
+                for b, s in zip(boxes, scores):
+                    f.write(f"{det['id']} {s:.3f} {b[0] + 1:.1f} "
+                            f"{b[1] + 1:.1f} {b[2] + 1:.1f} {b[3] + 1:.1f}\n")
+        paths.append(path)
+    return paths

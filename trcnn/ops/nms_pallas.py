@@ -21,9 +21,12 @@ The input sort and the output compaction (top-k over kept positions) stay
 in XLA where they are already optimal; the kernel does the O(N²) IoU work,
 which is the hot part.
 
-``nms_padded_pallas`` matches ``nms_padded``'s signature/return exactly
-and is the drop-in used by the proposal layer on TPU (interpret=True runs
-it on CPU in CI — SURVEY.md §6.2 sanitizer path).
+``nms_padded_pallas`` matches ``nms_padded``'s signature/return exactly.
+The proposal layer selects between the two via
+``ProposalConfig.nms_impl`` ("xla" default); benchmarks/bench_nms.py
+measures both at the production shapes and the README records which wins
+where.  interpret=True runs the kernel on CPU in CI (SURVEY.md §6.2
+sanitizer path).
 """
 
 from __future__ import annotations
@@ -41,7 +44,7 @@ _NEG_INF = jnp.float32(-jnp.inf)
 
 
 def _suppression_kernel(x1_ref, y1_ref, x2_ref, y2_ref, valid_ref,
-                        thresh_ref, keep_ref, *, tile: int):
+                        thresh_ref, keep_ref, *, tile: int, max_out: int):
     """Computes keep mask (1, N) for score-sorted boxes.
 
     Refs hold (1, N) rows in VMEM (coordinates pre-masked so padding rows
@@ -131,9 +134,23 @@ def _suppression_kernel(x1_ref, y1_ref, x2_ref, y2_ref, valid_ref,
         later = (pos >= start + tile).astype(jnp.int32)
         keep_ref[:] = keep_ref[:] * (1 - killed_n * later)
         keep_ref[0, pl.ds(start, tile)] = keep_col.reshape(tile)
-        return 0
 
-    lax.fori_loop(0, num_tiles, tile_body, 0)
+    # capacity-aware early exit (same contract as the XLA path's
+    # while_loop): keep-flags of processed tiles are FINAL — later boxes
+    # never suppress earlier ones — so once the finalized prefix holds
+    # max_out survivors the remaining tiles are unreachable output and the
+    # cross-IoU work for them is skipped entirely.
+    def loop_cond(state):
+        t, finalized = state
+        return (t < num_tiles) & (finalized < max_out)
+
+    def loop_body(state):
+        t, _ = state
+        tile_body(t, None)
+        done = (pos < (t + 1) * tile).astype(jnp.int32)
+        return t + 1, jnp.sum(keep_ref[:] * done)
+
+    lax.while_loop(loop_cond, loop_body, (0, jnp.int32(0)))
 
 
 def _pad_to_multiple(x, multiple, value):
@@ -175,7 +192,7 @@ def nms_padded_pallas(
     y2 = (sboxes[:, 3] + far).reshape(1, n)
 
     keep_i32 = pl.pallas_call(
-        functools.partial(_suppression_kernel, tile=tile),
+        functools.partial(_suppression_kernel, tile=tile, max_out=max_out),
         out_shape=jax.ShapeDtypeStruct((1, n), jnp.int32),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5
         + [pl.BlockSpec(memory_space=pltpu.SMEM)],

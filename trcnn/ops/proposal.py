@@ -88,9 +88,15 @@ def proposal_layer(
     top_boxes = jnp.take(proposals, top_idx, axis=0)
 
     post_k = cfg.post_nms_topk(train)
-    keep_idx, keep_valid = nms_padded(
-        top_boxes, top_scores, top_valid, cfg.nms_thresh, post_k, tile=nms_tile
-    )
+    if cfg.nms_impl == "pallas":
+        from trcnn.ops.nms_pallas import nms_padded_pallas
+
+        keep_idx, keep_valid = nms_padded_pallas(
+            top_boxes, top_scores, top_valid, cfg.nms_thresh, post_k)
+    else:
+        keep_idx, keep_valid = nms_padded(
+            top_boxes, top_scores, top_valid, cfg.nms_thresh, post_k,
+            tile=nms_tile)
     rois = jnp.take(top_boxes, keep_idx, axis=0)
     roi_scores = jnp.take(top_scores, keep_idx, axis=0)
     rois = jnp.where(keep_valid[:, None], rois, 0.0)

@@ -58,13 +58,14 @@ def _kernel(bounds_ref, feat_ref, out_ref, *,
         he = (packed_h >> 8) & 0xFF
         hs_c = jnp.clip(hs, 0, max(feat_h - mbh, 0))
         rows = feat_ref[0, pl.ds(hs_c, mbh), :, :]          # (MBH, W, C)
-        # row masking with SCALAR conditions (one per candidate row) —
-        # no sub-lane-shaped masks involved
-        rowmax = jnp.full((feat_w, feat_c), neg, feat_ref.dtype)
-        for i in range(mbh):
-            ok = ((hs_c + i) >= hs) & ((hs_c + i) < he)      # scalar bool
-            cand = jnp.maximum(rowmax, rows[i])
-            rowmax = jnp.where(ok, cand, rowmax)             # (W, C)
+        # one vectorized masked reduce over the band (the round-1 kernel
+        # ran MBH sequential (W, C) select+max steps — ~2.4x more VPU ops
+        # and MBH dependent instructions; the (MBH, W, C) mask is fine on
+        # TPU since the lane dim stays C)
+        band_rows = (lax.broadcasted_iota(
+            jnp.int32, (mbh, feat_w, feat_c), 0) + hs_c)
+        rmask = (band_rows >= hs) & (band_rows < he)
+        rowmax = jnp.max(jnp.where(rmask, rows, neg), axis=0)  # (W, C)
         for pw in range(out_size):
             packed_w = bounds_ref[base + pw]
             ws = (packed_w >> 16) & 0xFF

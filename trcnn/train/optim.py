@@ -71,21 +71,26 @@ def make_optimizer(
     backbone: str = "vgg16",
 ) -> optax.GradientTransformation:
     """The full update rule.  Order matters:
-    weight-decay (weights only) → momentum → lr schedule (2× on biases) →
-    freeze mask."""
+    weight-decay (weights only) → lr schedule (2× on biases) → momentum →
+    freeze mask.
+
+    The learning rate scales the gradient BEFORE the momentum trace —
+    Caffe/Chainer MomentumSGD semantics (v = m·v − lr·(g + wd·w); w += v).
+    At the ×0.1 decay step the accumulated velocity then decays over
+    ~1/(1−m) steps exactly as the reference does, instead of being
+    instantly rescaled (ADVICE r1)."""
     biases = bias_mask(params)
     weights = jax.tree.map(lambda b: not b, biases)
     frozen = frozen_mask(params, backbone)
-    trainable = jax.tree.map(lambda f: not f, frozen)
 
     schedule = make_schedule(cfg)
     bias_schedule = lambda step: 2.0 * schedule(step)
 
     tx = optax.chain(
         optax.masked(optax.add_decayed_weights(cfg.weight_decay), weights),
-        optax.trace(decay=cfg.momentum, nesterov=False),
         optax.masked(optax.scale_by_learning_rate(schedule), weights),
         optax.masked(optax.scale_by_learning_rate(bias_schedule), biases),
+        optax.trace(decay=cfg.momentum, nesterov=False),
         optax.masked(optax.set_to_zero(), frozen),
     )
     return tx

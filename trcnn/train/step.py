@@ -115,6 +115,12 @@ def device_batch(batch, mesh: Optional[Mesh] = None,
     if mesh is None:
         return {k: jnp.asarray(v) for k, v in arrays.items()}
     sh = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        # multi-host: this process holds only its shard of the global
+        # batch (the loader shards example ids by process_index); lift it
+        # into a global array spanning the whole mesh
+        return {k: jax.make_array_from_process_local_data(sh, np.asarray(v))
+                for k, v in arrays.items()}
     return {k: jax.device_put(v, sh) for k, v in arrays.items()}
 
 

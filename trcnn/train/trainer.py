@@ -23,7 +23,7 @@ import numpy as np
 from trcnn.config import FasterRCNNConfig
 from trcnn.train.optim import make_optimizer
 from trcnn.train.step import (TrainState, device_batch, make_mesh,
-                              make_train_step, replicated)
+                              make_train_step)
 
 
 @dataclasses.dataclass
@@ -36,16 +36,23 @@ class TrainConfig:
     seed: int = 0
     use_mesh: bool = True               # shard batch over all local devices
     metric_writer: Optional[Any] = None  # clu metric_writers instance
+    eval_every: int = 0                 # run `evaluator` every N steps (0=off)
 
 
 class Trainer:
-    """Drives (loader → device → train_step) with snapshots and logging."""
+    """Drives (loader → device → train_step) with snapshots and logging.
+
+    ``evaluator``: optional callable ``params -> {metric: float}`` (e.g.
+    trcnn.eval.Evaluator) run every ``tcfg.eval_every`` steps and at the
+    end — the eval-mAP scalar of SURVEY.md §6.5 the reference never had.
+    """
 
     def __init__(self, model, params, cfg: FasterRCNNConfig,
-                 tcfg: TrainConfig = TrainConfig()):
+                 tcfg: TrainConfig = TrainConfig(), evaluator=None):
         self.model = model
         self.cfg = cfg
         self.tcfg = tcfg
+        self.evaluator = evaluator
         self.mesh = make_mesh() if tcfg.use_mesh else None
         self.tx = make_optimizer(params, cfg.optim, backbone=cfg.backbone)
         if self.mesh is not None:
@@ -75,10 +82,14 @@ class Trainer:
             return
         import orbax.checkpoint as ocp
 
-        self._ckpt_mgr.save(
-            int(self.state.step),
-            args=ocp.args.StandardSave(jax.tree.map(np.asarray, self.state)),
-        )
+        # single-process: snapshot to host numpy so the async save never
+        # races the donated device buffers; multi-host: hand orbax the
+        # global jax.Arrays directly (each process writes its addressable
+        # shards — np.asarray on a non-fully-addressable array would throw)
+        tree = (self.state if jax.process_count() > 1
+                else jax.tree.map(np.asarray, self.state))
+        self._ckpt_mgr.save(int(self.state.step),
+                            args=ocp.args.StandardSave(tree))
         if wait:
             self._ckpt_mgr.wait_until_finished()
 
@@ -91,13 +102,21 @@ class Trainer:
             return False
         import orbax.checkpoint as ocp
 
-        restored = self._ckpt_mgr.restore(
-            latest, args=ocp.args.StandardRestore(
-                jax.tree.map(np.asarray, self.state)))
-        self.state = jax.tree.map(jnp.asarray, restored)
-        if self.mesh is not None:
-            self.state = jax.device_put(self.state, replicated(self.mesh))
-        print(f"[trainer] resumed from checkpoint at step {latest}", flush=True)
+        # restore onto the shardings the live state already has (params
+        # replicated, fc6/fc7 TP-sharded over 'model', opt_state matching
+        # via jit propagation) — a blanket replicated() would clobber the
+        # tensor-parallel placement when the model axis is >1 (ADVICE r1),
+        # and an abstract sharded template is also the multi-host-correct
+        # path (orbax loads each process's shards)
+        template = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.asarray(x).dtype,
+                                           sharding=x.sharding),
+            self.state)
+        self.state = self._ckpt_mgr.restore(
+            latest, args=ocp.args.StandardRestore(template))
+        if jax.process_index() == 0:
+            print(f"[trainer] resumed from checkpoint at step {latest}",
+                  flush=True)
         return True
 
     # ---- loop -----------------------------------------------------------
@@ -129,7 +148,7 @@ class Trainer:
             db_next = (device_batch(nxt, self.mesh, image_dtype=image_dtype)
                        if nxt is not None else None)
             self.state, metrics = self.step_fn(self.state, db, self.rng)
-            imgs_since += bsz
+            imgs_since += bsz * jax.process_count()  # global images/step
             step += 1
 
             if step % log_every == 0 or step == total:
@@ -140,15 +159,37 @@ class Trainer:
                     "imgs_per_sec": round(imgs_since / max(dt, 1e-9), 2),
                     **{k: round(v, 5) for k, v in metrics.items()},
                 }
-                print(json.dumps(rec), flush=True)
+                if jax.process_index() == 0:
+                    print(json.dumps(rec), flush=True)
                 if self.tcfg.metric_writer is not None:
                     self.tcfg.metric_writer.write_scalars(step, metrics)
                 t0, imgs_since = time.time(), 0
 
             if self.tcfg.checkpoint_every and step % self.tcfg.checkpoint_every == 0:
                 self.save()
+            if (self.evaluator is not None and self.tcfg.eval_every
+                    and (step % self.tcfg.eval_every == 0 or step == total)):
+                self.run_eval(step)
+                t0, imgs_since = time.time(), 0  # don't bill eval wall time
             if hooks and step in hooks:
                 hooks[step](self)
 
         self.save(wait=True)
+        if self.evaluator is not None and self.tcfg.eval_every:
+            final = int(self.state.step)
+            if final % self.tcfg.eval_every and final != total:
+                self.run_eval(final)
         return self.state
+
+    def run_eval(self, step: int) -> Dict[str, float]:
+        """Evaluate current params; log scalar metrics (per-class APs go to
+        the metric writer only, the console line stays short)."""
+        results = self.evaluator(self.state.params)
+        scalars = {k: float(v) for k, v in results.items()}
+        if jax.process_index() == 0:
+            brief = {k: round(v, 4) for k, v in scalars.items()
+                     if "/" not in k}
+            print(json.dumps({"step": step, **brief}), flush=True)
+            if self.tcfg.metric_writer is not None:
+                self.tcfg.metric_writer.write_scalars(step, scalars)
+        return scalars
