@@ -33,6 +33,14 @@ def main() -> int:
     ap.add_argument("--backbone", default="vgg16")
     ap.add_argument("--dtype", default="bfloat16",
                     choices=["bfloat16", "float32"])
+    ap.add_argument("--checkpoint_dir", default=None,
+                    help="orbax dir with trained params — benches a "
+                         "TRAINED score distribution (the NMS fixpoint/"
+                         "early-exit trip counts are data-dependent; "
+                         "random-init numbers can drift once scores "
+                         "cluster).  Default: random init")
+    ap.add_argument("--p50_batch1", action="store_true",
+                    help="also measure batch-1 p50 latency (stderr)")
     args = ap.parse_args()
 
     import jax
@@ -55,6 +63,25 @@ def main() -> int:
     im_info = jnp.tile(jnp.asarray([[600.0, 1000.0, 1.6]], jnp.float32),
                        (b, 1))
     params = jax.jit(model.init)(rng, images, im_info)
+    weights = "random-init"
+    if args.checkpoint_dir:
+        import os
+
+        import orbax.checkpoint as ocp
+
+        from trcnn.train import TrainState, make_optimizer
+
+        mgr = ocp.CheckpointManager(os.path.abspath(args.checkpoint_dir))
+        if mgr.latest_step() is not None:
+            tx = make_optimizer(params, cfg.optim, cfg.backbone)
+            tmpl = jax.tree.map(np.asarray, TrainState.create(params, tx))
+            restored = mgr.restore(mgr.latest_step(),
+                                   args=ocp.args.StandardRestore(tmpl))
+            params = jax.device_put(restored.params)
+            weights = f"trained@{mgr.latest_step()}"
+        else:
+            print(f"[bench] no checkpoint in {args.checkpoint_dir}; "
+                  "random init", file=sys.stderr)
 
     @jax.jit
     def run(p, x, info):
@@ -77,9 +104,21 @@ def main() -> int:
     times = np.asarray(times)
     imgs_per_sec = b / float(np.median(times))
     p50_ms = float(np.median(times)) / b * 1e3
-    print(f"batch={b} p50_batch={np.median(times) * 1e3:.2f}ms "
+    print(f"batch={b} weights={weights} "
+          f"p50_batch={np.median(times) * 1e3:.2f}ms "
           f"p50_per_img={p50_ms:.2f}ms device={jax.devices()[0].platform}",
           file=sys.stderr)
+
+    if args.p50_batch1:
+        img1, info1 = images[:1], im_info[:1]
+        jax.block_until_ready(run(params, img1, info1))
+        t1 = []
+        for _ in range(args.iters):
+            t0 = time.perf_counter()
+            jax.block_until_ready(run(params, img1, info1))
+            t1.append(time.perf_counter() - t0)
+        print(f"batch1 p50={np.median(t1) * 1e3:.2f}ms (incl. dispatch)",
+              file=sys.stderr)
     print(json.dumps({
         "metric": "images/sec/chip",
         "value": round(imgs_per_sec, 2),

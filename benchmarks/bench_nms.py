@@ -63,10 +63,27 @@ def main() -> int:
 
     import jax
     import jax.numpy as jnp
+    from jax import lax
 
     from trcnn.ops.nms import nms_oracle_numpy, nms_padded
     from trcnn.ops.nms_pallas import nms_padded_pallas
     from trcnn.utils.profiling import time_fn
+
+    INNER = 10  # amortize the ~15-25 ms tunnel dispatch over a scan
+
+    def scanned(nms_fn, b, s, v, k):
+        """One jitted program running INNER sequential NMS calls (a data
+        dependency through the scores forces real sequencing)."""
+
+        def body(carry, _):
+            ki, kv = nms_fn(b, s + carry, v, args.thresh, max_out=k)
+            # sub-epsilon bump: keeps every iteration's keep-set identical
+            # while defeating CSE/hoisting of the repeated NMS call
+            bump = jnp.sum(ki).astype(jnp.float32) * 1e-30
+            return carry + bump, (ki, kv)
+
+        _, (kis, kvs) = lax.scan(body, jnp.float32(0.0), None, length=INNER)
+        return kis[-1], kvs[-1]
 
     rng = np.random.RandomState(0)
     shapes = [("test_6000_to_300", 6000, 300), ("train_12000_to_2000", 12000, 2000)]
@@ -79,16 +96,17 @@ def main() -> int:
             s = jnp.asarray(scores)
             v = jnp.ones((n,), bool)
 
-            t_xla, out_xla = time_fn(
-                lambda: nms_padded(b, s, v, args.thresh, max_out=k),
-                iters=args.iters)
-            row = {"xla_ms": round(t_xla * 1e3, 3)}
+            xla_run = jax.jit(lambda b, s, v, k=k: scanned(
+                nms_padded, b, s, v, k))
+            t_xla, out_xla = time_fn(lambda: xla_run(b, s, v),
+                                     iters=args.iters)
+            row = {"xla_ms": round(t_xla * 1e3 / INNER, 3)}
             try:
-                t_pal, out_pal = time_fn(
-                    lambda: nms_padded_pallas(b, s, v, args.thresh,
-                                              max_out=k),
-                    iters=args.iters)
-                row["pallas_ms"] = round(t_pal * 1e3, 3)
+                pal_run = jax.jit(lambda b, s, v, k=k: scanned(
+                    nms_padded_pallas, b, s, v, k))
+                t_pal, out_pal = time_fn(lambda: pal_run(b, s, v),
+                                         iters=args.iters)
+                row["pallas_ms"] = round(t_pal * 1e3 / INNER, 3)
                 same = bool(
                     np.array_equal(np.asarray(out_xla[0])[np.asarray(out_xla[1])],
                                    np.asarray(out_pal[0])[np.asarray(out_pal[1])]))

@@ -119,3 +119,29 @@ def test_multiclass_nms_basic(rng):
         # got is the top-15 overall subset; every got score must be in want
         for g in got_scores:
             assert any(abs(g - w) < 1e-6 for w in want_scores)
+
+
+def test_presorted_fast_path_matches_unsorted(rng):
+    """presorted=True (the proposal-layer fast path fed by masked_topk)
+    must select the same boxes as the internal-sort path, for both the XLA
+    spec and the Pallas kernel (interpret mode)."""
+    from trcnn.ops.nms_pallas import nms_padded_pallas
+    from trcnn.ops.topk import masked_topk
+
+    n = 300
+    boxes = random_boxes(rng, n)
+    scores = rng.uniform(size=n).astype(np.float32)
+    valid = rng.rand(n) > 0.1
+
+    ref = run_nms(boxes, scores, valid, 0.5, 40)
+    ref_boxes = boxes[ref]
+
+    svals, sidx, svalid = masked_topk(
+        jnp.asarray(scores), jnp.asarray(valid), n)
+    sboxes = jnp.take(jnp.asarray(boxes), sidx, axis=0)
+
+    for fn, kw in ((nms_padded, dict(tile=64)),
+                   (nms_padded_pallas, dict(tile=64, interpret=True))):
+        ki, kv = fn(sboxes, svals, svalid, 0.5, 40, presorted=True, **kw)
+        got = np.asarray(jnp.take(sboxes, ki, axis=0))[np.asarray(kv)]
+        np.testing.assert_array_equal(got, ref_boxes)

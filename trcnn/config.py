@@ -61,11 +61,11 @@ class ProposalConfig:
     post_nms_topk_test: int = 300
     nms_thresh: float = 0.7
     min_size: float = 16.0  # scaled by im_scale at call time
-    # proposal-NMS kernel: "xla" (portable fixpoint spec, trcnn/ops/nms.py)
-    # or "pallas" (VMEM-resident kernel, trcnn/ops/nms_pallas.py); both are
-    # exactly greedy — selection is a pure performance choice, benchmarked
-    # per shape in benchmarks/bench_nms.py
-    nms_impl: str = "xla"
+    # proposal-NMS kernel: "auto" (Pallas VMEM kernel on TPU — 1.6x the XLA
+    # path at the clustered 12000-box train shape, benchmarks/bench_nms.py —
+    # XLA spec elsewhere), or force "xla" / "pallas"; all are exactly
+    # greedy, so selection is a pure performance choice
+    nms_impl: str = "auto"
 
     def pre_nms_topk(self, train: bool) -> int:
         return self.pre_nms_topk_train if train else self.pre_nms_topk_test

@@ -56,7 +56,7 @@ def _pad_to_multiple(x: jnp.ndarray, multiple: int, axis: int, value) -> jnp.nda
     return jnp.pad(x, widths, constant_values=value)
 
 
-@functools.partial(jax.jit, static_argnames=("max_out", "tile"))
+@functools.partial(jax.jit, static_argnames=("max_out", "tile", "presorted"))
 def nms_padded(
     boxes: jnp.ndarray,
     scores: jnp.ndarray,
@@ -64,6 +64,7 @@ def nms_padded(
     iou_thresh,
     max_out: int,
     tile: Optional[int] = None,
+    presorted: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Greedy NMS over a padded box set.
 
@@ -78,6 +79,10 @@ def nms_padded(
         whole suppression is a single fixpoint over the N x N IoU matrix
         (device-measured ~1 ms at N=6000) — else 4096-box tiles to bound
         the matrix memory (train-time N=12000 ⇒ 3 tiles).
+      presorted: the caller guarantees boxes/valid are already score-sorted
+        descending (invalid at the end) — e.g. straight out of
+        ``masked_topk`` — so the internal full sort is skipped (the sort is
+        ~1/3 of device time at the 12000-box train shape).
 
     Returns:
       keep_idx:   (K,) int32 indices into the *input* arrays, score-ordered.
@@ -94,10 +99,15 @@ def nms_padded(
         want = max(2048, -(-2 * max_out // 512) * 512)
         tile = min(padded, want)
     # --- sort by score descending (stable: ties to lower index) ---------
-    masked = jnp.where(valid, scores.astype(jnp.float32), _NEG_INF)
-    sorted_scores, order = lax.top_k(masked, n_in)
-    sboxes = jnp.take(boxes, order, axis=0)
-    svalid = sorted_scores > _NEG_INF
+    if presorted:
+        order = jnp.arange(n_in, dtype=jnp.int32)
+        sboxes = boxes
+        svalid = valid
+    else:
+        masked = jnp.where(valid, scores.astype(jnp.float32), _NEG_INF)
+        sorted_scores, order = lax.top_k(masked, n_in)
+        sboxes = jnp.take(boxes, order, axis=0)
+        svalid = sorted_scores > _NEG_INF
 
     # --- pad to a tile multiple -----------------------------------------
     sboxes = _pad_to_multiple(sboxes, tile, axis=0, value=0.0)

@@ -32,7 +32,7 @@ sanitizer path).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -163,22 +163,35 @@ def _pad_to_multiple(x, multiple, value):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("max_out", "tile", "interpret"))
+                   static_argnames=("max_out", "tile", "interpret",
+                                    "presorted"))
 def nms_padded_pallas(
     boxes: jnp.ndarray,
     scores: jnp.ndarray,
     valid: jnp.ndarray,
     iou_thresh,
     max_out: int,
-    tile: int = 256,
+    tile: Optional[int] = None,
     interpret: bool = False,
+    presorted: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Drop-in Pallas variant of ``trcnn.ops.nms.nms_padded``."""
+    """Drop-in Pallas variant of ``trcnn.ops.nms.nms_padded`` (including
+    the ``presorted`` fast path — see that function's docstring)."""
     n_in = boxes.shape[0]
-    masked = jnp.where(valid, scores.astype(jnp.float32), _NEG_INF)
-    sorted_scores, order = lax.top_k(masked, n_in)
-    sboxes = jnp.take(boxes, order, axis=0).astype(jnp.float32)
-    svalid = sorted_scores > _NEG_INF
+    if tile is None:
+        # the (T, N) cross-suppression intermediates must fit VMEM (~16 MB)
+        # alongside the coordinate rows: T=256 is fine to N≈8k, larger box
+        # sets drop to T=128 (train-time N=12288 ⇒ ~6 MB per (T, N) f32)
+        tile = 256 if n_in <= 8192 else 128
+    if presorted:
+        order = jnp.arange(n_in, dtype=jnp.int32)
+        sboxes = boxes.astype(jnp.float32)
+        svalid = valid
+    else:
+        masked = jnp.where(valid, scores.astype(jnp.float32), _NEG_INF)
+        sorted_scores, order = lax.top_k(masked, n_in)
+        sboxes = jnp.take(boxes, order, axis=0).astype(jnp.float32)
+        svalid = sorted_scores > _NEG_INF
 
     sboxes = _pad_to_multiple(sboxes, tile, 0.0)
     svalid = _pad_to_multiple(svalid, tile, False)

@@ -88,15 +88,27 @@ def proposal_layer(
     top_boxes = jnp.take(proposals, top_idx, axis=0)
 
     post_k = cfg.post_nms_topk(train)
-    if cfg.nms_impl == "pallas":
+    # masked_topk's output is already score-sorted descending with invalid
+    # entries at the end — presorted=True skips the NMS-internal re-sort
+    # (~1/3 of the 12000-box device time).
+    # impl "auto": the VMEM-resident Pallas kernel on TPU (1.6x the XLA
+    # fixpoint at the clustered train shape, benchmarks/bench_nms.py),
+    # the portable XLA spec elsewhere.
+    impl = cfg.nms_impl
+    if impl == "auto":
+        import jax
+
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl == "pallas":
         from trcnn.ops.nms_pallas import nms_padded_pallas
 
         keep_idx, keep_valid = nms_padded_pallas(
-            top_boxes, top_scores, top_valid, cfg.nms_thresh, post_k)
+            top_boxes, top_scores, top_valid, cfg.nms_thresh, post_k,
+            presorted=True)
     else:
         keep_idx, keep_valid = nms_padded(
             top_boxes, top_scores, top_valid, cfg.nms_thresh, post_k,
-            tile=nms_tile)
+            tile=nms_tile, presorted=True)
     rois = jnp.take(top_boxes, keep_idx, axis=0)
     roi_scores = jnp.take(top_scores, keep_idx, axis=0)
     rois = jnp.where(keep_valid[:, None], rois, 0.0)
