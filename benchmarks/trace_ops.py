@@ -51,20 +51,30 @@ def main():
         for _ in range(3):
             jax.block_until_ready(full(params, images, im_info))
 
-    xplanes = sorted(glob.glob(
-        args.logdir + "/plugins/profile/*/*.xplane.pb"))
-    print("xplane:", xplanes[-1], flush=True)
-    from tensorboard_plugin_profile.convert import raw_to_tool_data
+    # chrome-trace parsing only — the tensorboard profile plugin's
+    # generated protos clash with this environment's protobuf
+    import collections
+    import gzip
 
-    data, _ = raw_to_tool_data.xspace_to_tool_data(
-        [xplanes[-1]], "framework_op_stats", {})
-    rows = json.loads(data) if isinstance(data, (str, bytes)) else data
-    # framework_op_stats returns gviz json; fall back to hlo stats text
-    print(type(rows))
-    out_path = "/tmp/op_stats.json"
-    with open(out_path, "w") as f:
-        f.write(data if isinstance(data, str) else str(data))
-    print("wrote", out_path)
+    paths = sorted(glob.glob(
+        args.logdir + "/plugins/profile/*/*.trace.json.gz"))
+    t = json.load(gzip.open(paths[-1]))
+    events = t["traceEvents"]
+    pids = {e["pid"]: e["args"].get("name", "") for e in events
+            if e.get("ph") == "M" and e.get("name") == "process_name"}
+    agg = collections.Counter()
+    total = 0
+    for e in events:
+        if (e.get("ph") == "X" and "dur" in e
+                and "TPU" in pids.get(e["pid"], "")
+                and "jit_" not in e["name"]):
+            agg[e["name"]] += e["dur"]
+            total += e["dur"]
+    nsteps = 3
+    print(f"TOTAL {total / nsteps / 1000:.2f} ms/step "
+          f"(see benchmarks/map_fusions.py for source attribution)")
+    for k, v in agg.most_common(args.top):
+        print(f"{v / nsteps / 1000:8.3f} ms  {k}")
 
 
 if __name__ == "__main__":

@@ -205,6 +205,45 @@ def test_evaluator_runs_and_reports():
     assert ev.annotations() is ev.annotations()
 
 
+# ---- frozen-stem gradient pruning -------------------------------------------
+
+def test_frozen_stem_gets_zero_raw_grads_but_head_trains():
+    """freeze_stem stop_gradient: conv1_1..conv2_2 raw grads are exactly
+    zero (their backward is pruned from the graph — they were masked to
+    zero by the optimizer anyway), while conv3+ and heads get real
+    gradients."""
+    import jax
+    import jax.numpy as jnp
+
+    from trcnn.models import make_model
+
+    cfg = _tiny_cfg()
+    model = make_model(cfg)
+    b, h, w = 1, cfg.image.pad_h, cfg.image.pad_w
+    images = jnp.asarray(
+        np.random.RandomState(0).rand(b, h, w, 3), jnp.float32)
+    im_info = jnp.asarray([[h, w, 1.0]], jnp.float32)
+    gt_boxes = jnp.asarray([[[5.0, 5.0, 40.0, 40.0]]])
+    gt_labels = jnp.asarray([[3]], jnp.int32)
+    gt_valid = jnp.ones((1, 1), bool)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), images, im_info)
+
+    def loss_fn(p):
+        out = model.apply(p, images, im_info, gt_boxes, gt_labels, gt_valid,
+                          method="losses",
+                          rngs={"dropout": jax.random.PRNGKey(1),
+                                "sampling": jax.random.PRNGKey(2)})
+        return out["loss"]
+
+    grads = jax.jit(jax.grad(loss_fn))(params)["params"]
+    for name in ("conv1_1", "conv1_2", "conv2_1", "conv2_2"):
+        g = grads["extractor"][name]["kernel"]
+        assert float(jnp.abs(g).max()) == 0.0, name
+    assert float(jnp.abs(
+        grads["extractor"]["conv3_1"]["kernel"]).max()) > 0.0
+    assert float(jnp.abs(grads["rpn"]["rpn_conv"]["kernel"]).max()) > 0.0
+
+
 # ---- devkit detection files -----------------------------------------------
 
 def test_write_voc_detection_files(tmp_path):

@@ -95,12 +95,21 @@ class ResStage(nn.Module):
 
 
 class ResNet101C4(nn.Module):
-    """conv1..res4 feature extractor: stride 16, 1024 channels."""
+    """conv1..res4 feature extractor: stride 16, 1024 channels.
+
+    ``freeze_stem``: stop_gradient at the res2 boundary — conv1 + res2
+    are frozen during detection training (Detectron recipe, see
+    trcnn/train/optim.py RESNET_FROZEN_PREFIXES), so their backward is
+    discarded work at the highest-resolution stages.
+    """
 
     dtype: Any = jnp.float32
+    freeze_stem: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        import jax
+
         x = x.astype(self.dtype)
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
                     use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
@@ -108,6 +117,8 @@ class ResNet101C4(nn.Module):
         x = nn.relu(FrozenBatchNorm(dtype=self.dtype, name="bn1")(x))
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
         x = ResStage(3, 64, 1, dtype=self.dtype, name="res2")(x)
+        if self.freeze_stem:
+            x = jax.lax.stop_gradient(x)
         x = ResStage(4, 128, 2, dtype=self.dtype, name="res3")(x)
         x = ResStage(23, 256, 2, dtype=self.dtype, name="res4")(x)
         return x  # (B, H/16, W/16, 1024)

@@ -20,8 +20,18 @@ from __future__ import annotations
 
 from typing import Any, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
+
+
+def max_pool_2x2(x: jnp.ndarray) -> jnp.ndarray:
+    """2×2/stride-2 max pool.  reduce-window measured 2.23 ms for the b8
+    pool1 (~2x the bandwidth bound), but the tempting reshape+strided-max
+    form is WORSE on TPU — XLA materializes the (B,H/2,2,W/2,2,C) reshape
+    as a full relayout copy (measured 3.89 ms at pool1's shape), so the
+    window op stays."""
+    return nn.max_pool(x, (2, 2), strides=(2, 2))
 
 # (block, convs-in-block, channels); pool follows each block except the last
 # block's pool which Faster R-CNN omits (stride stays 16).
@@ -42,9 +52,20 @@ class VGG16(nn.Module):
 
     Input (B, H, W, 3) float; H and W must be multiples of 16 (the padded
     canvas guarantees this).  Output (B, H/16, W/16, 512).
+
+    ``freeze_stem`` (default True, the reference recipe): a stop_gradient
+    at the conv2_2 boundary.  conv1_1–conv2_2 are frozen during detection
+    training (SURVEY.md §8), yet autodiff would still build their full
+    backward — the frozen stem runs at FULL input resolution and is the
+    least MXU-efficient part of the net (64-channel layers), so its dx/dW
+    chain is ~25 ms of discarded work per batch-8 step.  The optimizer's
+    gradient mask (trcnn/train/optim.py) makes those grads zero anyway;
+    this just stops computing them.  Set False only together with a
+    custom optimizer that actually trains the stem.
     """
 
     dtype: Any = jnp.float32  # compute dtype; use jnp.bfloat16 on TPU
+    freeze_stem: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -60,6 +81,8 @@ class VGG16(nn.Module):
                     name=f"{name}_{ci + 1}",
                 )(x)
                 x = nn.relu(x)
+            if bi == 1 and self.freeze_stem:  # conv2_2: frozen-stem boundary
+                x = jax.lax.stop_gradient(x)
             if bi < len(VGG_CFG) - 1:  # no pool after conv5 block
-                x = nn.max_pool(x, (2, 2), strides=(2, 2))
+                x = max_pool_2x2(x)
         return x

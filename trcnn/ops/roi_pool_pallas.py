@@ -3,24 +3,29 @@
 The portable XLA formulation (trcnn/ops/roi_pool.py) gathers a static
 worst-case window per output bin — on the VGG 600x1000 config that's
 ~28 GB of HBM gather traffic per batch-8 inference (measured from the
-optimized HLO), the single largest cost in the pipeline.  This kernel
-keeps the whole stride-16 feature map VMEM-resident (38x64x512 bf16
-≈ 2.5 MB) and computes each RoI's 7x7 bins with a two-stage masked max:
+optimized HLO).  This kernel keeps a VMEM-resident *sliding-max sparse
+table* of the stride-16 feature map and answers each bin with O(1) reads:
 
-  stage A (rows): for each output row ph, read the bin's ≤MBH feature
-    rows with one dynamic slice, mask rows past the bin end, reduce
-    → (W, C) row-max;
+  precompute (XLA, fused): T[l, y] = max(feat[y : y+2^l]) for
+    l = 0..L-1 (doubling construction, L = floor(log2(max_bin_h)) + 1 —
+    4 levels for the VGG 38-row map; bf16, (L, H, W, C) ≈ 10 MB);
+  stage A (rows): a bin's row range [hs, he) is the max of exactly TWO
+    table rows, T[l, hs] and T[l, he - 2^l] with l = floor(log2(he-hs))
+    — 2×(W, C) VMEM reads instead of the round-1 kernel's ≤MBH-row band
+    (~4.6x fewer reads; the band version measured 4.9 ms/batch-8, bound
+    by VMEM read volume);
   stage B (cols): 7 masked column-range maxes over the row-max
     → (C,) per bin.
 
-HBM traffic: the feature map once + the pooled output once.  Bin
-boundaries (the Caffe rounding contract, shared with the XLA path via
-``roi_bin_bounds``) are computed in XLA and passed as scalar-prefetch
-SMEM arrays.
+Bin boundaries (the Caffe rounding contract, shared with the XLA path via
+``roi_bin_bounds``) and the per-bin (level, second-read offset) pairs are
+computed in XLA and passed as packed scalar-prefetch SMEM arrays.  The
+channel axis is grid-blocked when the table exceeds the VMEM budget
+(R101's 1024-channel map, COCO canvases).
 
-Backward: custom_vjp whose backward is the XLA path's autodiff (the
-argmax-scatter gradient).  Forward parity with the numpy oracle is tested
-in interpret mode (CI) and on the chip (verify skill).
+Backward: custom Pallas scatter kernel (even tie-split, matching the XLA
+reduce_max VJP).  Forward parity with the numpy oracle is tested in
+interpret mode (CI) and on the chip (verify skill).
 """
 
 from __future__ import annotations
@@ -37,44 +42,95 @@ from jax.experimental.pallas import tpu as pltpu
 from trcnn.ops.roi_pool import max_bin_extent, roi_bin_bounds, roi_max_pool
 
 
-def _kernel(bounds_ref, feat_ref, out_ref, *,
-            out_size: int, mbh: int, feat_h: int, feat_w: int,
-            feat_c: int, num_rois: int):
+def _kernel(bounds_ref, aux_ref, table_ref, out_ref, *,
+            out_size: int, feat_w: int, feat_c: int, num_rois: int,
+            rois_per_program: int):
     # bounds_ref is FLAT (B*R*P,) int32 with the four bin bounds packed in
     # 8-bit fields (hs | he<<8 | ws<<16 | we<<24) — SMEM is a 1 MB budget
     # shared by all prefetched operands, and separate (B, R, P) arrays
-    # blow it at batch ≥ 32 (the minor dim pads to 128).
+    # blow it at batch ≥ 32 (the minor dim pads to 128).  aux_ref packs the
+    # row-range sparse-table query (level | read1<<8 | read2<<16).
+    # rois_per_program RoIs per grid step amortize the per-program cost
+    # (300 single-RoI programs/image measured ~1 ms of pure overhead).
     b = pl.program_id(0)
-    r = pl.program_id(1)
-    base = (b * num_rois + r) * out_size
-    neg = jnp.asarray(-jnp.inf, feat_ref.dtype)
+    rg = pl.program_id(2)
+    neg = jnp.asarray(-jnp.inf, table_ref.dtype)
     # full-width (W, C) column-index plane — degenerate-lane iotas such as
     # (W, 1) lower unreliably on TPU, so keep the lane dim at C
     col_idx = lax.broadcasted_iota(jnp.int32, (feat_w, feat_c), 0)
 
-    for ph in range(out_size):
-        packed_h = bounds_ref[base + ph]
-        hs = packed_h & 0xFF
-        he = (packed_h >> 8) & 0xFF
-        hs_c = jnp.clip(hs, 0, max(feat_h - mbh, 0))
-        rows = feat_ref[0, pl.ds(hs_c, mbh), :, :]          # (MBH, W, C)
-        # one vectorized masked reduce over the band (the round-1 kernel
-        # ran MBH sequential (W, C) select+max steps — ~2.4x more VPU ops
-        # and MBH dependent instructions; the (MBH, W, C) mask is fine on
-        # TPU since the lane dim stays C)
-        band_rows = (lax.broadcasted_iota(
-            jnp.int32, (mbh, feat_w, feat_c), 0) + hs_c)
-        rmask = (band_rows >= hs) & (band_rows < he)
-        rowmax = jnp.max(jnp.where(rmask, rows, neg), axis=0)  # (W, C)
-        for pw in range(out_size):
-            packed_w = bounds_ref[base + pw]
-            ws = (packed_w >> 16) & 0xFF
-            we = (packed_w >> 24) & 0xFF
-            cmask = (col_idx >= ws) & (col_idx < we)         # (W, C)
-            bmax = jnp.max(jnp.where(cmask, rowmax, neg), axis=0)  # (C,)
-            empty = (he <= hs) | (we <= ws)
-            out_ref[0, 0, ph, pw, :] = jnp.where(
-                empty, jnp.zeros_like(bmax), bmax)
+    for j in range(rois_per_program):
+        base = (b * num_rois + rg * rois_per_program + j) * out_size
+        for ph in range(out_size):
+            packed_h = bounds_ref[base + ph]
+            hs = packed_h & 0xFF
+            he = (packed_h >> 8) & 0xFF
+            aux = aux_ref[base + ph]
+            lh = aux & 0xFF
+            r1 = (aux >> 8) & 0xFF
+            r2 = (aux >> 16) & 0xFF
+            # range max over rows [hs, he) = max of two overlapping power-
+            # of-two windows from the sparse table (r1/r2 pre-clamped in
+            # XLA — empty clipped bins would otherwise index row H)
+            row_a = table_ref[0, lh, r1, :, :]               # (W, C)
+            row_b = table_ref[0, lh, r2, :, :]
+            rowmax = jnp.maximum(row_a, row_b)
+            for pw in range(out_size):
+                packed_w = bounds_ref[base + pw]
+                ws = (packed_w >> 16) & 0xFF
+                we = (packed_w >> 24) & 0xFF
+                cmask = (col_idx >= ws) & (col_idx < we)     # (W, C)
+                bmax = jnp.max(jnp.where(cmask, rowmax, neg), axis=0)
+                empty = (he <= hs) | (we <= ws)
+                out_ref[0, j, ph, pw, :] = jnp.where(
+                    empty, jnp.zeros_like(bmax), bmax)
+
+
+def _levels_for(mbh: int) -> int:
+    l = 0
+    while (1 << l) <= max(mbh, 1):
+        l += 1
+    return l  # floor(log2(mbh)) + 1
+
+
+def sliding_row_max_table(feat: jnp.ndarray, levels: int) -> jnp.ndarray:
+    """(H, W, C) → (L, H, W, C) with T[l, y] = max(feat[y : y+2^l])
+    (clipped at H).  Doubling construction: L−1 fused elementwise maxes."""
+    h = feat.shape[0]
+    ts = [feat]
+    for l in range(1, levels):
+        shift = min(1 << (l - 1), h - 1)
+        prev = ts[-1]
+        shifted = jnp.concatenate(
+            [prev[shift:], jnp.broadcast_to(prev[-1:],
+                                            (shift,) + prev.shape[1:])], 0)
+        ts.append(jnp.maximum(prev, shifted))
+    return jnp.stack(ts)
+
+
+def _row_query_aux(hs: jnp.ndarray, he: jnp.ndarray, levels: int,
+                   feat_h: int):
+    """Per-bin sparse-table query, packed (level | read1<<8 | read2<<16):
+    rows [hs, he) = max(T[level, read1], T[level, read2]).  Reads are
+    clamped into [0, H−1] so empty clipped bins (hs == H possible after
+    roi_bin_bounds clipping) stay in bounds — their output is zeroed by
+    the he<=hs flag anyway."""
+    d = jnp.maximum(he - hs, 1)
+    lvl = jnp.zeros_like(d)
+    for l in range(1, levels):
+        lvl = jnp.where(d >= (1 << l), l, lvl)
+    r1 = jnp.clip(hs, 0, feat_h - 1)
+    r2 = jnp.clip(jnp.maximum(he, hs + 1) - (1 << lvl).astype(d.dtype),
+                  0, feat_h - 1)
+    return lvl | (r1 << 8) | (r2 << 16)
+
+
+def _channel_block(h: int, w: int, c: int, levels: int, itemsize: int,
+                   budget: int = 10 * 2 ** 20) -> int:
+    cblock = c
+    while cblock > 128 and levels * h * w * cblock * itemsize > budget:
+        cblock //= 2
+    return cblock
 
 
 def _forward(feat: jnp.ndarray, rois: jnp.ndarray, out_size: int,
@@ -82,6 +138,7 @@ def _forward(feat: jnp.ndarray, rois: jnp.ndarray, out_size: int,
     b, h, w, c = feat.shape
     r = rois.shape[1]
     mbh = max_bin_extent(h, out_size)
+    levels = _levels_for(mbh)
 
     if h > 255 or w > 255:
         raise ValueError(
@@ -92,28 +149,36 @@ def _forward(feat: jnp.ndarray, rois: jnp.ndarray, out_size: int,
     )(rois)
     hs, he, ws, we = (x.astype(jnp.int32).reshape(-1) for x in bounds)
     packed = hs | (he << 8) | (ws << 16) | (we << 24)
+    aux = _row_query_aux(hs, he, levels, h)
 
+    table = jax.vmap(lambda f: sliding_row_max_table(f, levels))(feat)
+
+    cblock = _channel_block(h, w, c, levels, feat.dtype.itemsize)
+    ncb = c // cblock
+    rpp = next(g for g in (4, 2, 1) if r % g == 0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(b, r),
+        num_scalar_prefetch=2,
+        grid=(b, ncb, r // rpp),
         in_specs=[
-            pl.BlockSpec((1, h, w, c), lambda bb, rr, *_: (bb, 0, 0, 0),
+            pl.BlockSpec((1, levels, h, w, cblock),
+                         lambda bb, cc, rr, *_: (bb, 0, 0, 0, cc),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, out_size, out_size, c),
-            lambda bb, rr, *_: (bb, rr, 0, 0, 0),
+            (1, rpp, out_size, out_size, cblock),
+            lambda bb, cc, rr, *_: (bb, rr, 0, 0, cc),
             memory_space=pltpu.VMEM),
     )
-    kern = functools.partial(_kernel, out_size=out_size, mbh=mbh,
-                             feat_h=h, feat_w=w, feat_c=c, num_rois=r)
+    kern = functools.partial(_kernel, out_size=out_size,
+                             feat_w=w, feat_c=cblock, num_rois=r,
+                             rois_per_program=rpp)
     return pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((b, r, out_size, out_size, c),
                                        feat.dtype),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(packed, feat)
+    )(packed, aux, table)
 
 
 def _bwd_kernel(bounds_ref, feat_ref, pooled_ref, g_ref, dfeat_ref, *,
