@@ -66,10 +66,11 @@ def main() -> int:
 
     model = make_model(cfg)
     if args.pretrained_model:
-        from trcnn.convert import import_chainer_npz
+        from trcnn.convert import import_weights
         # device_put once — a host-numpy param tree would re-upload on
-        # every jitted call
-        params = jax.device_put(import_chainer_npz(args.pretrained_model, cfg))
+        # every jitted call.  Accepts chainer .npz, torchvision/chainercv
+        # R101 npz, or a raw .caffemodel (the reference's original format)
+        params = jax.device_put(import_weights(args.pretrained_model, cfg))
     else:
         print("[warn] no --pretrained_model: using random init "
               "(smoke-test mode)", file=sys.stderr)
