@@ -72,3 +72,15 @@ def test_backward_even_tie_split_interpret():
     np.testing.assert_allclose(d[0, 2, 2], 1.0)
     np.testing.assert_allclose(d[0, 2, 3], 1.0)
     assert np.abs(d).sum() == np.abs(d[0, 2, 2:4]).sum()
+
+
+def test_forward_portrait_canvas_interpret():
+    """Portrait feature map (64x38): max bin extent 11 -> a 4-level sparse
+    table and multi-channel-block grid (the shape whose VMEM footprint
+    broke the round-2 train compile before the 4 MB block budget)."""
+    feat, rois = _fixture(3, H=64, W=38, C=256)
+    got = np.asarray(roi_max_pool_pallas(
+        jnp.asarray(feat), jnp.asarray(rois), 7, 1 / 16.0, True))
+    for b in range(feat.shape[0]):
+        np.testing.assert_allclose(
+            got[b], roi_max_pool_oracle_numpy(feat[b], rois[b]), atol=1e-5)

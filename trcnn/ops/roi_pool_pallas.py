@@ -126,7 +126,15 @@ def _row_query_aux(hs: jnp.ndarray, he: jnp.ndarray, levels: int,
 
 
 def _channel_block(h: int, w: int, c: int, levels: int, itemsize: int,
-                   budget: int = 10 * 2 ** 20) -> int:
+                   budget: int = 4 * 2 ** 20) -> int:
+    """Largest channel block whose table slice fits the VMEM budget.
+
+    The budget must leave room for Mosaic's block double-buffering and the
+    output block: a 10 MB budget compiled for the landscape VGG canvas
+    (3-level table, 7.5 MB) but the portrait canvas needs 4 levels
+    (mbh=11) → 9.96 MB → ~2x under double buffering → Mosaic VMEM
+    overflow, failing the whole train-step compile.  4 MB keeps every
+    supported canvas comfortably inside 16 MB."""
     cblock = c
     while cblock > 128 and levels * h * w * cblock * itemsize > budget:
         cblock //= 2
