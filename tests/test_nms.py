@@ -145,3 +145,45 @@ def test_presorted_fast_path_matches_unsorted(rng):
         ki, kv = fn(sboxes, svals, svalid, 0.5, 40, presorted=True, **kw)
         got = np.asarray(jnp.take(sboxes, ki, axis=0))[np.asarray(kv)]
         np.testing.assert_array_equal(got, ref_boxes)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_multiclass_fast_path_exact(seed):
+    """max_per_class >= max_total (both VOC and COCO test configs) takes the
+    single-call grouped-NMS fast path; its output must be EXACTLY the
+    per-class-oracle + score-merge reference."""
+    rng = np.random.RandomState(seed)
+    r, c = 60, 5  # 4 fg classes
+    boxes = random_boxes(rng, r)
+    # clustered per-class boxes so suppression actually happens
+    boxes_pc = np.broadcast_to(boxes[:, None, :], (r, c, 4)).copy()
+    boxes_pc += rng.uniform(-4, 4, boxes_pc.shape).astype(np.float32)
+    boxes_pc[..., 2:] = np.maximum(boxes_pc[..., 2:], boxes_pc[..., :2] + 1)
+    scores = rng.uniform(size=(r, c)).astype(np.float32)
+    valid = rng.rand(r) > 0.15
+    thresh, sthresh, mtot = 0.5, 0.3, 12
+
+    db, ds, dc, dv = multiclass_nms(
+        jnp.asarray(boxes_pc), jnp.asarray(scores), jnp.asarray(valid),
+        thresh, sthresh, max_per_class=mtot, max_total=mtot)
+    db, ds, dc, dv = map(np.asarray, (db, ds, dc, dv))
+
+    # numpy reference: per-class greedy NMS among valid & above-threshold,
+    # then global merge by score (ties -> lower (class, roi) flat index,
+    # matching lax.top_k's stable order over the class-major flat array)
+    cand = []
+    for cls in range(1, c):
+        ok = valid & (scores[:, cls] > sthresh)
+        idx = np.nonzero(ok)[0]
+        keep = nms_oracle_numpy(boxes_pc[idx, cls], scores[idx, cls], thresh)
+        for i in (idx[k] for k in keep):
+            cand.append((scores[i, cls], -(cls - 1) * r - i, cls, i))
+    cand.sort(key=lambda t: (-t[0], -t[1]))
+    cand = cand[:mtot]
+
+    assert dv.sum() == len(cand)
+    for slot, (sc, _, cls, i) in enumerate(cand):
+        assert dv[slot]
+        assert ds[slot] == np.float32(sc)
+        assert dc[slot] == cls
+        np.testing.assert_array_equal(db[slot], boxes_pc[i, cls])

@@ -38,12 +38,13 @@ import functools
 from typing import Optional, Tuple
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 from jax import lax
 
 from trcnn.ops.boxes import box_iou
 
-_NEG_INF = jnp.float32(-jnp.inf)
+_NEG_INF = np.float32(-np.inf)
 
 
 def _pad_to_multiple(x: jnp.ndarray, multiple: int, axis: int, value) -> jnp.ndarray:
@@ -65,6 +66,7 @@ def nms_padded(
     max_out: int,
     tile: Optional[int] = None,
     presorted: bool = False,
+    groups: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Greedy NMS over a padded box set.
 
@@ -83,6 +85,10 @@ def nms_padded(
         descending (invalid at the end) — e.g. straight out of
         ``masked_topk`` — so the internal full sort is skipped (the sort is
         ~1/3 of device time at the 12000-box train shape).
+      groups: optional (N,) int32 group ids; suppression is restricted to
+        same-group pairs (cross-group IoU treated as 0).  Used by the
+        single-call multiclass fast path — grouped NMS over the flattened
+        (class, roi) set is bit-identical to independent per-class NMS.
 
     Returns:
       keep_idx:   (K,) int32 indices into the *input* arrays, score-ordered.
@@ -103,15 +109,19 @@ def nms_padded(
         order = jnp.arange(n_in, dtype=jnp.int32)
         sboxes = boxes
         svalid = valid
+        sgroups = groups
     else:
         masked = jnp.where(valid, scores.astype(jnp.float32), _NEG_INF)
         sorted_scores, order = lax.top_k(masked, n_in)
         sboxes = jnp.take(boxes, order, axis=0)
         svalid = sorted_scores > _NEG_INF
+        sgroups = None if groups is None else jnp.take(groups, order)
 
     # --- pad to a tile multiple -----------------------------------------
     sboxes = _pad_to_multiple(sboxes, tile, axis=0, value=0.0)
     svalid = _pad_to_multiple(svalid, tile, axis=0, value=False)
+    if sgroups is not None:
+        sgroups = _pad_to_multiple(sgroups, tile, axis=0, value=-1)
     n = sboxes.shape[0]
     num_tiles = n // tile
 
@@ -120,12 +130,14 @@ def nms_padded(
     row_idx = jnp.arange(tile, dtype=jnp.int32)
     upper_mask = row_idx[:, None] < row_idx[None, :]  # r strictly before c
 
-    def self_suppress(tb, valid_t):
+    def self_suppress(tb, valid_t, tg):
         """Greedy fixpoint over one tile's T x T matrix:
         keep[c] = valid[c] & !any_{r<c}(keep[r] & over[r,c]).  Jacobi
         iteration converges in suppression-chain depth (the while_loop
         tracks it exactly), and the fixpoint IS the greedy solution."""
         upper = (box_iou(tb, tb) > iou_thresh) & upper_mask  # (T, T)
+        if tg is not None:
+            upper &= tg[:, None] == tg[None, :]
 
         def fix_cond(kk):
             k_old, k_new = kk
@@ -141,7 +153,8 @@ def nms_padded(
         return keep_t
 
     # --- tile 0, peeled statically: no cross-suppression exists yet ------
-    keep_t0 = self_suppress(sboxes[:tile], svalid[:tile])
+    keep_t0 = self_suppress(sboxes[:tile], svalid[:tile],
+                            None if sgroups is None else sgroups[:tile])
     suppressed0 = lax.dynamic_update_slice(suppressed0, ~keep_t0, (0,))
 
     if num_tiles > 1:
@@ -156,18 +169,29 @@ def nms_padded(
             start = i * tile
             tb = lax.dynamic_slice(sboxes, (start, 0), (tile, 4))
             sup_t = lax.dynamic_slice(suppressed, (start,), (tile,))
+            tg = (None if sgroups is None
+                  else lax.dynamic_slice(sgroups, (start,), (tile,)))
 
             kept_prefix = ~suppressed & (pos < start)            # (N,)
             over_tn = box_iou(tb, sboxes) > iou_thresh           # (T, N)
+            if tg is not None:
+                over_tn &= tg[:, None] == sgroups[None, :]
             killed = jnp.any(over_tn & kept_prefix[None, :], axis=1)
-            keep_t = self_suppress(tb, ~(sup_t | killed))
+            keep_t = self_suppress(tb, ~(sup_t | killed), tg)
             return lax.dynamic_update_slice(suppressed, ~keep_t, (start,))
+
+        # valid entries are score-sorted to the front, so once a tile is
+        # all-padding every later tile is too — exit instead of burning
+        # (T, N) IoU passes on padding (matters when few boxes clear the
+        # score threshold, e.g. multiclass NMS at eval thresholds).
+        tile_has_valid = jnp.any(svalid.reshape(num_tiles, tile), axis=1)
 
         def loop_cond(state):
             i, suppressed = state
             finalized_keep = ~suppressed & (pos < i * tile)
-            return (i < num_tiles) & (
-                jnp.sum(finalized_keep.astype(jnp.int32)) < max_out)
+            return ((i < num_tiles)
+                    & tile_has_valid[jnp.minimum(i, num_tiles - 1)]
+                    & (jnp.sum(finalized_keep.astype(jnp.int32)) < max_out))
 
         def loop_body(state):
             i, suppressed = state
@@ -244,6 +268,33 @@ def multiclass_nms(
     cls_boxes = jnp.moveaxis(boxes_pc[:, class_offset:, :], 1, 0)
     cls_scores = jnp.moveaxis(scores[:, class_offset:], 1, 0)
     cls_valid = valid[None, :] & (cls_scores > score_thresh)
+
+    if max_per_class >= max_total:
+        # Single-call fast path: when the per-class cap cannot bind (the
+        # first max_total survivors in global score order ARE the final
+        # output, and no single class can place more than max_total boxes
+        # among them), per-class NMS + merge is EXACTLY one grouped greedy
+        # NMS over the flattened (class, roi) set — suppression is masked
+        # to same-class pairs via ``groups``, so the keep-set is
+        # bit-identical to the vmapped per-class path.  This replaces FG
+        # fixpoint loops + FG top-ks with one of each (both VOC and COCO
+        # test configs take this path; the general path below remains the
+        # spec and serves max_per_class < max_total).
+        flat_boxes_in = cls_boxes.reshape(fg * r, 4)
+        flat_scores_in = cls_scores.reshape(fg * r)
+        flat_valid_in = cls_valid.reshape(fg * r)
+        flat_groups = jnp.repeat(
+            jnp.arange(fg, dtype=jnp.int32), r, total_repeat_length=fg * r)
+        keep_idx, keep_valid = nms_padded(
+            flat_boxes_in, flat_scores_in, flat_valid_in,
+            iou_thresh, max_out=max_total, tile=tile, groups=flat_groups)
+        det_scores = jnp.take(flat_scores_in, keep_idx)
+        det_boxes = jnp.take(flat_boxes_in, keep_idx, axis=0)
+        det_classes = (keep_idx // r + class_offset).astype(jnp.int32)
+        det_scores = jnp.where(keep_valid, det_scores, 0.0)
+        det_boxes = jnp.where(keep_valid[:, None], det_boxes, 0.0)
+        det_classes = jnp.where(keep_valid, det_classes, 0)
+        return det_boxes, det_scores, det_classes, keep_valid
 
     nms_fn = functools.partial(nms_padded, max_out=max_per_class, tile=tile)
     keep_idx, keep_valid = jax.vmap(nms_fn, in_axes=(0, 0, 0, None))(

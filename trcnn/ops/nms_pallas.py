@@ -35,12 +35,13 @@ import functools
 from typing import Optional, Tuple
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_NEG_INF = jnp.float32(-jnp.inf)
+_NEG_INF = np.float32(-np.inf)
 
 
 def _suppression_kernel(x1_ref, y1_ref, x2_ref, y2_ref, valid_ref,

@@ -26,9 +26,10 @@ from functools import lru_cache
 from typing import Tuple
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
-_NEG_INF = jnp.float32(-jnp.inf)
+_NEG_INF = np.float32(-np.inf)
 
 
 def _round_half_away(x: jnp.ndarray) -> jnp.ndarray:

@@ -13,9 +13,10 @@ from __future__ import annotations
 from typing import Tuple
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
-_NEG_INF = jnp.float32(-jnp.inf)
+_NEG_INF = np.float32(-np.inf)
 
 
 def masked_topk(
