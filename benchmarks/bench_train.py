@@ -20,6 +20,8 @@ sys.path.insert(0, __file__.rsplit("/benchmarks/", 1)[0])
 
 import numpy as np
 
+from trcnn.utils.profiling import device_sync
+
 
 def main() -> int:
     ap = argparse.ArgumentParser()
@@ -65,7 +67,7 @@ def main() -> int:
 
     t0 = time.time()
     state, metrics = step(state, batch, rng)
-    jax.block_until_ready(state)
+    device_sync(metrics)
     print(f"compile: {time.time() - t0:.1f}s "
           f"loss={float(metrics['loss']):.3f} "
           f"fg_anchors={float(metrics['num_fg_anchors']):.1f}",
@@ -73,19 +75,21 @@ def main() -> int:
 
     for _ in range(3):
         state, metrics = step(state, batch, rng)
-    jax.block_until_ready(state)
+    device_sync(metrics)
 
     if args.trace:
         with jax.profiler.trace("/tmp/trcnn_train_trace"):
             for _ in range(3):
                 state, metrics = step(state, batch, rng)
-            jax.block_until_ready(state)
+            device_sync(metrics)
         print("trace: /tmp/trcnn_train_trace", file=sys.stderr)
 
+    # steps chain through the donated state, so syncing the LAST step's
+    # metrics fences the whole window
     t0 = time.perf_counter()
     for _ in range(args.iters):
         state, metrics = step(state, batch, rng)
-    jax.block_until_ready(state)
+    device_sync(metrics)
     dt = (time.perf_counter() - t0) / args.iters
     print(json.dumps({
         "metric": "train_imgs_per_sec_device",

@@ -21,15 +21,17 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from trcnn.utils.profiling import device_sync
+
 
 def timeit(fn, *args, iters=10, warmup=2):
-    out = jax.block_until_ready(fn(*args))
+    out = device_sync(fn(*args))
     for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
+        device_sync(fn(*args))
     ts = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
+        device_sync(fn(*args))
         ts.append(time.perf_counter() - t0)
     return float(np.median(ts)), out
 

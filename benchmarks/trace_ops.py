@@ -44,12 +44,18 @@ def main():
 
     full = jax.jit(lambda p, x, i: postprocess(
         model.apply(p, x, i, method="detect"), i, cfg))
-    jax.block_until_ready(full(params, images, im_info))
+
+    def sync(det):
+        # a host read is the only reliable execution fence on the tunneled
+        # chip (block_until_ready can return before execution completes)
+        return float(np.asarray(det.scores[0, 0]))
+
+    sync(full(params, images, im_info))
     print("compiled; tracing...", flush=True)
 
     with jax.profiler.trace(args.logdir):
         for _ in range(3):
-            jax.block_until_ready(full(params, images, im_info))
+            sync(full(params, images, im_info))
 
     # chrome-trace parsing only — the tensorboard profile plugin's
     # generated protos clash with this environment's protobuf

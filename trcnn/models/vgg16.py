@@ -66,11 +66,34 @@ class VGG16(nn.Module):
 
     dtype: Any = jnp.float32  # compute dtype; use jnp.bfloat16 on TPU
     freeze_stem: bool = True
+    # "auto": the fused Pallas conv1_1+conv1_2+pool1 kernel on TPU (the
+    # 64-channel stem runs ~3x off roofline under XLA's conv emitters —
+    # 39.7 -> 23.4 ms/b32 measured, see trcnn/ops/stem_pallas.py); the
+    # nn.Conv path elsewhere.  The kernel is forward-only, which the stem
+    # is anyway under the reference's conv1/conv2 freeze; set False when
+    # training with freeze_stem=False.
+    fused_stem: Any = "auto"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         x = x.astype(self.dtype)
+        # the fused kernel's VJP is the frozen-stem zero (see stem_pallas);
+        # training the stem requires the XLA path
+        use_fused = (self.freeze_stem
+                     and (self.fused_stem is True or
+                          (self.fused_stem == "auto"
+                           and jax.default_backend() == "tpu")))
+        start = 0
+        if use_fused:
+            from trcnn.ops.stem_pallas import fused_stem_block1
+
+            w1, b1 = _ConvParams(3, 64, name="conv1_1")()
+            w2, b2 = _ConvParams(64, 64, name="conv1_2")()
+            x = fused_stem_block1(x, w1, b1, w2, b2)
+            start = 1
         for bi, (name, n_convs, ch) in enumerate(VGG_CFG):
+            if bi < start:
+                continue
             for ci in range(n_convs):
                 x = nn.Conv(
                     ch,
@@ -86,3 +109,20 @@ class VGG16(nn.Module):
             if bi < len(VGG_CFG) - 1:  # no pool after conv5 block
                 x = max_pool_2x2(x)
         return x
+
+
+class _ConvParams(nn.Module):
+    """Declares kernel/bias with nn.Conv's exact names, shapes, and default
+    initializers, without running the convolution — the fused stem kernel
+    consumes them raw while checkpoints/importers see an identical tree."""
+
+    in_ch: int
+    out_ch: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (3, 3, self.in_ch, self.out_ch), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros_init(),
+                       (self.out_ch,), jnp.float32)
+        return k, b

@@ -42,9 +42,9 @@ from jax.experimental.pallas import tpu as pltpu
 from trcnn.ops.roi_pool import max_bin_extent, roi_bin_bounds, roi_max_pool
 
 
-def _kernel(bounds_ref, aux_ref, table_ref, out_ref, *,
+def _kernel(bounds_ref, aux_ref, table_ref, out_ref, rm_ref, *,
             out_size: int, feat_w: int, feat_c: int, num_rois: int,
-            rois_per_program: int):
+            rois_per_program: int, mbw: int):
     # bounds_ref is FLAT (B*R*P,) int32 with the four bin bounds packed in
     # 8-bit fields (hs | he<<8 | ws<<16 | we<<24) — SMEM is a 1 MB budget
     # shared by all prefetched operands, and separate (B, R, P) arrays
@@ -55,9 +55,15 @@ def _kernel(bounds_ref, aux_ref, table_ref, out_ref, *,
     b = pl.program_id(0)
     rg = pl.program_id(2)
     neg = jnp.asarray(-jnp.inf, table_ref.dtype)
-    # full-width (W, C) column-index plane — degenerate-lane iotas such as
-    # (W, 1) lower unreliably on TPU, so keep the lane dim at C
-    col_idx = lax.broadcasted_iota(jnp.int32, (feat_w, feat_c), 0)
+    # stage-B windows are MBW columns (the widest possible bin + sublane
+    # alignment slack; Mosaic requires provably 8-aligned dynamic sublane
+    # starts), sliced from the rowmax scratch — measured 4.1 ms faster
+    # than the full-width masked max at b32x300 (the VGG 64-col map does
+    # ~2.6x less VPU work per bin).  Degenerate-lane iotas such as (W, 1)
+    # lower unreliably on TPU, so the index plane keeps the lane dim at C.
+    sliced = mbw < feat_w
+    win_w = mbw if sliced else feat_w
+    col_idx = lax.broadcasted_iota(jnp.int32, (win_w, feat_c), 0)
 
     for j in range(rois_per_program):
         base = (b * num_rois + rg * rois_per_program + j) * out_size
@@ -74,13 +80,20 @@ def _kernel(bounds_ref, aux_ref, table_ref, out_ref, *,
             # XLA — empty clipped bins would otherwise index row H)
             row_a = table_ref[0, lh, r1, :, :]               # (W, C)
             row_b = table_ref[0, lh, r2, :, :]
-            rowmax = jnp.maximum(row_a, row_b)
+            rm_ref[...] = jnp.maximum(row_a, row_b)
             for pw in range(out_size):
                 packed_w = bounds_ref[base + pw]
                 ws = (packed_w >> 16) & 0xFF
                 we = (packed_w >> 24) & 0xFF
-                cmask = (col_idx >= ws) & (col_idx < we)     # (W, C)
-                bmax = jnp.max(jnp.where(cmask, rowmax, neg), axis=0)
+                if sliced:
+                    ws_c = jnp.clip((ws // 8) * 8, 0, feat_w - mbw)
+                    win = rm_ref[pl.ds(pl.multiple_of(ws_c, 8), mbw), :]
+                else:
+                    ws_c = 0
+                    win = rm_ref[...]
+                cmask = ((col_idx + ws_c >= ws)
+                         & (col_idx + ws_c < we))
+                bmax = jnp.max(jnp.where(cmask, win, neg), axis=0)
                 empty = (he <= hs) | (we <= ws)
                 out_ref[0, j, ph, pw, :] = jnp.where(
                     empty, jnp.zeros_like(bmax), bmax)
@@ -163,7 +176,13 @@ def _forward(feat: jnp.ndarray, rois: jnp.ndarray, out_size: int,
 
     cblock = _channel_block(h, w, c, levels, feat.dtype.itemsize)
     ncb = c // cblock
-    rpp = next(g for g in (4, 2, 1) if r % g == 0)
+    rpp = next(g for g in (8, 4, 2, 1) if r % g == 0)
+    # stage-B window: widest bin + up to 7 cols of start-alignment slack,
+    # rounded to a sublane multiple; the clip bound (w - mbw) must also be
+    # 8-aligned for Mosaic to accept the dynamic slice, hence the w % 8
+    # gate (full-width fallback otherwise — only tiny test maps hit it)
+    mbw_al = -(-(max_bin_extent(w, out_size) + 7) // 8) * 8
+    mbw = mbw_al if (mbw_al < w and w % 8 == 0) else w
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(b, ncb, r // rpp),
@@ -176,10 +195,11 @@ def _forward(feat: jnp.ndarray, rois: jnp.ndarray, out_size: int,
             (1, rpp, out_size, out_size, cblock),
             lambda bb, cc, rr, *_: (bb, rr, 0, 0, cc),
             memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((w, cblock), feat.dtype)],
     )
     kern = functools.partial(_kernel, out_size=out_size,
                              feat_w=w, feat_c=cblock, num_rois=r,
-                             rois_per_program=rpp)
+                             rois_per_program=rpp, mbw=mbw)
     return pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((b, r, out_size, out_size, c),

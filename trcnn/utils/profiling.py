@@ -23,17 +23,28 @@ from typing import Callable, Dict, Tuple
 import numpy as np
 
 
-def time_fn(fn: Callable, *args, iters: int = 10, warmup: int = 2) -> Tuple[float, object]:
-    """Median wall seconds per call and the last output."""
+def device_sync(out):
+    """Reliable execution fence: fetch one scalar of one output leaf to
+    host.  jax.block_until_ready is NOT a dependable fence on every
+    transport (observed returning before execution completes on the
+    tunneled-TPU backend); a D2H read cannot complete before the producing
+    program does.  Returns ``out`` unchanged."""
     import jax
 
-    out = jax.block_until_ready(fn(*args))
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(jax.device_get(leaf.ravel()[0] if leaf.ndim else leaf))
+    return out
+
+
+def time_fn(fn: Callable, *args, iters: int = 10, warmup: int = 2) -> Tuple[float, object]:
+    """Median wall seconds per call and the last output (device_sync'd)."""
+    out = device_sync(fn(*args))
     for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
+        device_sync(fn(*args))
     ts = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        out = jax.block_until_ready(fn(*args))
+        out = device_sync(fn(*args))
         ts.append(time.perf_counter() - t0)
     return float(np.median(ts)), out
 
