@@ -136,3 +136,26 @@ def test_uint8_input_path_matches_float(setup):
                                np.asarray(raw_f.cls_prob), atol=1e-5)
     np.testing.assert_allclose(np.asarray(raw_u.rois),
                                np.asarray(raw_f.rois), atol=1e-3)
+
+
+def test_roi_align_mode_config():
+    """RoIConfig.mode='align' must actually select RoIAlign in the model
+    (it was a dead switch until round 2.1)."""
+    import dataclasses
+
+    cfg = tiny_cfg()
+    cfg_align = cfg.replace(roi=dataclasses.replace(cfg.roi, mode="align"))
+    model = make_model(cfg_align)
+    b, h, w = 1, 64, 96
+    imgs = jnp.asarray(np.random.RandomState(0).rand(b, h, w, 3), jnp.float32)
+    info = jnp.asarray([[64.0, 96.0, 1.0]], jnp.float32)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), imgs, info)
+    raw = model.apply(params, imgs, info, method="detect")
+    assert np.isfinite(np.asarray(raw.cls_prob)).all()
+    # the align graph must differ from the max-pool graph
+    model_max = make_model(cfg)
+    txt_align = jax.jit(lambda p, x, i: model.apply(p, x, i, method="detect")
+                        ).lower(params, imgs, info).as_text()
+    txt_max = jax.jit(lambda p, x, i: model_max.apply(p, x, i, method="detect")
+                      ).lower(params, imgs, info).as_text()
+    assert txt_align != txt_max
