@@ -34,6 +34,9 @@ def main() -> int:
     ap.add_argument("--scan_steps", type=int, default=8,
                     help="device-side back-to-back batches per timed call")
     ap.add_argument("--backbone", default="vgg16")
+    ap.add_argument("--config", default="voc", choices=["voc", "coco"],
+                    help="coco: 800x1344 canvas, 81 classes (BASELINE "
+                         "config 5 shapes)")
     ap.add_argument("--dtype", default="bfloat16",
                     choices=["bfloat16", "float32"])
     ap.add_argument("--checkpoint_dir", default=None,
@@ -44,16 +47,20 @@ def main() -> int:
                          "cluster).  Default: random init")
     ap.add_argument("--p50_batch1", action="store_true",
                     help="also measure batch-1 p50 latency (stderr)")
+    ap.add_argument("--uint8", action="store_true",
+                    help="feed raw uint8 canvases (the production loader "
+                         "contract; mean-subtract/mask run on device and "
+                         "fuse into the stem input relayout)")
     args = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
 
-    from trcnn.config import voc_config
+    from trcnn.config import coco_config, voc_config
     from trcnn.models import make_model
     from trcnn.models.faster_rcnn import postprocess
 
-    cfg = voc_config()
+    cfg = voc_config() if args.config == "voc" else coco_config()
     if args.backbone != "vgg16":
         cfg = cfg.replace(backbone=args.backbone)
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
@@ -63,9 +70,12 @@ def main() -> int:
     rng = jax.random.PRNGKey(0)
     # synthetic 600x1000 inputs on the padded canvas, shipped in the
     # model's compute dtype (an f32 canvas costs an extra device-side
-    # relayout+cast pass — ~0.9 ms at b8 in the r1 trace)
-    images = (jax.random.normal(rng, (b, h, w, 3), jnp.float32) * 30.0
-              ).astype(dtype)
+    # relayout+cast pass — ~0.9 ms at b8 in the r1 trace) or as raw uint8
+    if args.uint8:
+        images = jax.random.randint(rng, (b, h, w, 3), 0, 256, jnp.uint8)
+    else:
+        images = (jax.random.normal(rng, (b, h, w, 3), jnp.float32) * 30.0
+                  ).astype(dtype)
     im_info = jnp.tile(jnp.asarray([[600.0, 1000.0, 1.6]], jnp.float32),
                        (b, 1))
     params = jax.jit(model.init)(rng, images, im_info)
@@ -104,7 +114,12 @@ def main() -> int:
     @functools.partial(jax.jit, static_argnames="steps")
     def run_scan(p, x, info, steps):
         def body(c, _):
-            xi = x + (c * 1e-30).astype(x.dtype)
+            if x.dtype == jnp.uint8:
+                # data-dependent no-op select — the add-tiny trick folds
+                # away on integer inputs and XLA would hoist the body
+                xi = jnp.where(c < 0, ~x, x)
+            else:
+                xi = x + (c * 1e-30).astype(x.dtype)
             raw = model.apply(p, xi, info, method="detect")
             det = postprocess(raw, info, cfg)
             return jnp.float32(det.scores[0, 0]), None
