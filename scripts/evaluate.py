@@ -70,8 +70,11 @@ def main() -> int:
         cfg = cfg.replace(backbone=args.backbone)
 
     model = make_model(cfg)
+    # prefetch=0: a one-shot shape probe must not leave a prefetch worker
+    # thread blocked on its queue holding decoded canvases for the rest of
+    # the process lifetime
     first = next(iter(DetectionLoader(ds, batch_size=args.batch_size,
-                                      image_cfg=cfg.image)))
+                                      image_cfg=cfg.image, prefetch=0)))
     if args.pretrained_model:
         from trcnn.convert import import_weights
         params = jax.device_put(import_weights(args.pretrained_model, cfg))

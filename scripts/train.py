@@ -118,8 +118,9 @@ def main() -> int:
     import jax.numpy as jnp
     model = make_model(cfg, dtype=jnp.bfloat16 if args.dtype == "bfloat16"
                        else jnp.float32)
+    # prefetch=0: one-shot shape probe — don't leak a blocked worker thread
     ex = next(iter(DetectionLoader(ds, batch_size=args.batch_size // n_proc,
-                                   image_cfg=cfg.image)))
+                                   image_cfg=cfg.image, prefetch=0)))
     params = jax.jit(model.init)(
         jax.random.PRNGKey(args.seed),
         np.asarray(ex.images), np.asarray(ex.im_info))
@@ -146,18 +147,6 @@ def main() -> int:
             print(f"[train] metric writer unavailable ({e}); "
                   "stdout JSON-lines only", flush=True)
 
-    evaluator = None
-    if args.eval_every:
-        from trcnn.eval import Evaluator
-        if args.dataset == "voc":
-            eval_ds = VOCDetection(args.dataset_root, args.eval_split,
-                                   use_difficult=True)
-        else:
-            eval_ds = SyntheticDetection(n=64, num_classes=cfg.num_classes,
-                                         seed=args.seed + 1)
-        evaluator = Evaluator(model, cfg, eval_ds, limit=args.eval_limit,
-                              batch_size=max(args.batch_size // n_proc, 1))
-
     trainer = Trainer(model, params, cfg, TrainConfig(
         total_iters=args.iters,
         log_every=args.log_every,
@@ -167,7 +156,22 @@ def main() -> int:
         use_mesh=not args.no_mesh,
         metric_writer=writer,
         eval_every=args.eval_every,
-    ), evaluator=evaluator)
+    ))
+    if args.eval_every:
+        # built AFTER the Trainer so the eval detect step shares its mesh —
+        # under multi-host the params are committed to the global mesh, and
+        # a mesh-less jit mixing them with host-local batches raises at the
+        # first eval step
+        from trcnn.eval import Evaluator
+        if args.dataset == "voc":
+            eval_ds = VOCDetection(args.dataset_root, args.eval_split,
+                                   use_difficult=True)
+        else:
+            eval_ds = SyntheticDetection(n=64, num_classes=cfg.num_classes,
+                                         seed=args.seed + 1)
+        trainer.evaluator = Evaluator(
+            model, cfg, eval_ds, limit=args.eval_limit,
+            batch_size=args.batch_size, mesh=trainer.mesh)
     trainer.fit(iter(loader))
     if writer is not None:
         writer.flush()

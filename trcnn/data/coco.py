@@ -66,6 +66,11 @@ class COCODetection:
         ann = self.get_annotation(i)
         return {"image": img, **ann}
 
+    def get_size(self, i: int):
+        """(height, width) from the instances json — no image decode."""
+        info = self._images[self.ids[i]]
+        return int(info["height"]), int(info["width"])
+
     def get_annotation(self, i: int) -> dict:
         """Annotation only — no image decode (evaluator gt pass)."""
         img_id = self.ids[i]

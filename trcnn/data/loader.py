@@ -125,17 +125,58 @@ class DetectionLoader:
 
     def _index_stream(self) -> Iterator[int]:
         rng = np.random.RandomState(self.seed)
-        epoch = 0
         while True:
             order = np.arange(len(self.dataset))
             if self.shuffle:
                 rng.shuffle(order)
             if self.num_shards > 1:
-                order = order[self.shard_id::self.num_shards]
-            yield from order
-            epoch += 1
+                yield from self._sharded_epoch(order)
+            else:
+                yield from order
             if not self.repeat:
                 return
+
+    def _sharded_epoch(self, order: np.ndarray) -> Iterator[int]:
+        """Multi-host index schedule with globally consistent canvas
+        buckets.
+
+        Naive per-example sharding (``order[shard_id::num_shards]``) lets
+        each process group ITS shard by orientation bucket independently —
+        process 0's k-th batch can be landscape while process 1's is
+        portrait, so ``make_array_from_process_local_data`` would assemble
+        a global batch from mismatched local shapes and the lock-stepped
+        SPMD step diverges.  Instead every process runs the SAME schedule:
+        the (seed-identical) shuffled order is grouped into GLOBAL batches
+        of batch_size*num_shards examples of one bucket — orientation read
+        via ``dataset.get_size`` (no image decode) — and each process
+        keeps its contiguous slice of every global batch.
+        """
+        if not hasattr(self.dataset, "get_size"):
+            raise TypeError(
+                "multi-host sharding (num_shards > 1) needs "
+                f"{type(self.dataset).__name__}.get_size(i) -> (h, w) for "
+                "a globally consistent canvas-bucket schedule")
+        from trcnn.data.preprocess import canvas_shape
+
+        global_bs = self.batch_size * self.num_shards
+        lo = self.shard_id * self.batch_size
+        buckets: Dict[Tuple[int, int], list] = {}
+        for idx in order:
+            h, w = self.dataset.get_size(int(idx))
+            key = canvas_shape(h, w, self.image_cfg)
+            bucket = buckets.setdefault(key, [])
+            bucket.append(int(idx))
+            if len(bucket) == global_bs:
+                yield from bucket[lo:lo + self.batch_size]
+                buckets[key] = []
+        if not self.repeat:
+            # flush partial global buckets, padded by repeating the head so
+            # every process still sees a full, same-bucket local batch
+            for bucket in buckets.values():
+                if bucket:
+                    bucket = (bucket * ((global_bs // len(bucket)) + 1)
+                              )[:global_bs]
+                    yield from bucket[lo:lo + self.batch_size]
 
     def _batches(self) -> Iterator[Batch]:
         """Emit fixed-shape batches, grouping examples by canvas bucket

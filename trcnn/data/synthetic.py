@@ -27,6 +27,12 @@ class SyntheticDetection:
     def __len__(self) -> int:
         return self.n
 
+    def get_size(self, i: int):
+        """(height, width) without generating the image (same RNG draws)."""
+        rng = np.random.RandomState(self.seed * 100003 + i)
+        (h_lo, h_hi), (w_lo, w_hi) = self.hw_range
+        return int(rng.randint(h_lo, h_hi + 1)), int(rng.randint(w_lo, w_hi + 1))
+
     def get_example(self, i: int) -> dict:
         rng = np.random.RandomState(self.seed * 100003 + i)
         (h_lo, h_hi), (w_lo, w_hi) = self.hw_range

@@ -100,6 +100,15 @@ class VOCDetection:
         return {"image": img, "boxes": boxes, "labels": labels,
                 "difficult": difficult, "id": img_id}
 
+    def get_size(self, i: int):
+        """(height, width) of the raw image from the XML <size> element —
+        no JPEG decode.  The multi-host loader needs sizes for a globally
+        consistent canvas-bucket schedule."""
+        tree = ET.parse(
+            os.path.join(self.root, "Annotations", f"{self.ids[i]}.xml"))
+        sz = tree.find("size")
+        return int(sz.find("height").text), int(sz.find("width").text)
+
     def get_annotation(self, i: int) -> dict:
         """Annotation only — no image decode (the evaluator's gt pass
         needs just the XML; decoding every JPEG a second time is O(dataset)

@@ -69,6 +69,7 @@ class Evaluator:
         self.dataset = dataset
         self.loader = DetectionLoader(dataset, batch_size=batch_size,
                                       image_cfg=cfg.image)
+        self._mesh = mesh
         self._detect = make_detect_step(model, cfg, mesh,
                                         score_thresh=score_thresh)
         self._annotations: Optional[Dict[str, dict]] = None
@@ -89,16 +90,38 @@ class Evaluator:
 
     def collect_detections(self, params) -> List[dict]:
         """Run inference over the dataset → per-image detection dicts in
-        ORIGINAL image coordinates."""
+        ORIGINAL image coordinates.
+
+        Multi-host: params live on the GLOBAL (data, model) mesh, so the
+        detect step is collective.  Every process loads the SAME eval
+        batches (the loader is deterministic: no shuffle, no augment),
+        device_puts them onto the mesh's batch sharding, and allgathers
+        the sharded outputs — each process computes identical mAP, and no
+        host-local numpy ever meets a global-mesh jit (which raises
+        'incompatible devices')."""
         import jax
+
+        multi = self._mesh is not None and jax.process_count() > 1
+        if multi:
+            from jax.experimental import multihost_utils
+
+            from trcnn.train.step import batch_sharding
+            bsh = batch_sharding(self._mesh)
 
         detections = []
         seen = set()
         for batch in self.loader:
             if len(seen) >= self.limit:
                 break
-            dets = jax.block_until_ready(
-                self._detect(params, batch.images, batch.im_info))
+            images, im_info = batch.images, batch.im_info
+            if multi:
+                images = jax.device_put(images, bsh)
+                im_info = jax.device_put(im_info, bsh)
+            dets = self._detect(params, images, im_info)
+            if multi:
+                dets = jax.tree.map(
+                    lambda a: multihost_utils.process_allgather(a, tiled=True),
+                    dets)
             boxes = np.asarray(dets.boxes)
             scores = np.asarray(dets.scores)
             classes = np.asarray(dets.classes)

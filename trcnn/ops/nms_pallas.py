@@ -22,10 +22,10 @@ in XLA where they are already optimal; the kernel does the O(N²) IoU work,
 which is the hot part.
 
 ``nms_padded_pallas`` matches ``nms_padded``'s signature/return exactly.
-The proposal layer selects between the two via
-``ProposalConfig.nms_impl`` ("xla" default); benchmarks/bench_nms.py
-measures both at the production shapes and the README records which wins
-where.  interpret=True runs the kernel on CPU in CI (SURVEY.md §6.2
+The proposal layer selects between the two via ``ProposalConfig.nms_impl``
+(default "auto": THIS kernel on TPU — 1.6x the XLA path at the clustered
+12000-box train shape — the XLA spec elsewhere); benchmarks/bench_nms.py
+measures both at the production shapes.  interpret=True runs the kernel on CPU in CI (SURVEY.md §6.2
 sanitizer path).
 """
 

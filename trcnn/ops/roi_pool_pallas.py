@@ -99,6 +99,16 @@ def _kernel(bounds_ref, aux_ref, table_ref, out_ref, rm_ref, *,
                     empty, jnp.zeros_like(bmax), bmax)
 
 
+def _stage_b_window(w: int, out_size: int) -> int:
+    """Stage-B column-window width shared by forward and backward: widest
+    bin + up to 7 cols of start-alignment slack, rounded to a sublane
+    multiple.  The dynamic-slice clip bound (w - mbw) must also be
+    8-aligned for Mosaic, hence the w % 8 gate (full-width fallback
+    otherwise — only tiny test maps hit it)."""
+    mbw_al = -(-(max_bin_extent(w, out_size) + 7) // 8) * 8
+    return mbw_al if (mbw_al < w and w % 8 == 0) else w
+
+
 def _levels_for(mbh: int) -> int:
     l = 0
     while (1 << l) <= max(mbh, 1):
@@ -177,12 +187,7 @@ def _forward(feat: jnp.ndarray, rois: jnp.ndarray, out_size: int,
     cblock = _channel_block(h, w, c, levels, feat.dtype.itemsize)
     ncb = c // cblock
     rpp = next(g for g in (8, 4, 2, 1) if r % g == 0)
-    # stage-B window: widest bin + up to 7 cols of start-alignment slack,
-    # rounded to a sublane multiple; the clip bound (w - mbw) must also be
-    # 8-aligned for Mosaic to accept the dynamic slice, hence the w % 8
-    # gate (full-width fallback otherwise — only tiny test maps hit it)
-    mbw_al = -(-(max_bin_extent(w, out_size) + 7) // 8) * 8
-    mbw = mbw_al if (mbw_al < w and w % 8 == 0) else w
+    mbw = _stage_b_window(w, out_size)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(b, ncb, r // rpp),
@@ -317,8 +322,7 @@ def _backward_pallas(feat, rois, pooled, g, out_size, spatial_scale,
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((mbh, w, cblock), jnp.float32)],
     )
-    mbw_al = -(-(max_bin_extent(w, out_size) + 7) // 8) * 8
-    mbw = mbw_al if (mbw_al < w and w % 8 == 0) else w
+    mbw = _stage_b_window(w, out_size)
     kern = functools.partial(_bwd_kernel, out_size=out_size, mbh=mbh,
                              mbw=mbw, feat_h=h, feat_w=w, feat_c=cblock,
                              num_rois=r)

@@ -83,11 +83,13 @@ class Trainer:
             return
         import orbax.checkpoint as ocp
 
-        # single-process: snapshot to host numpy so the async save never
-        # races the donated device buffers; multi-host: hand orbax the
-        # global jax.Arrays directly (each process writes its addressable
-        # shards — np.asarray on a non-fully-addressable array would throw)
-        tree = (self.state if jax.process_count() > 1
+        # the async save must never read buffers the next step's donation
+        # overwrites: single-process snapshots to host numpy; multi-host
+        # snapshots to a fresh DEVICE copy (np.asarray on a non-fully-
+        # addressable array would throw) — jnp.copy preserves the global
+        # sharding and gives orbax buffers no later step can donate
+        tree = (jax.tree.map(jnp.copy, self.state)
+                if jax.process_count() > 1
                 else jax.tree.map(np.asarray, self.state))
         self._ckpt_mgr.save(int(self.state.step),
                             args=ocp.args.StandardSave(tree))
