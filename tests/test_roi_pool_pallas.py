@@ -84,3 +84,40 @@ def test_forward_portrait_canvas_interpret():
     for b in range(feat.shape[0]):
         np.testing.assert_allclose(
             got[b], roi_max_pool_oracle_numpy(feat[b], rois[b]), atol=1e-5)
+
+
+def test_flat_out_matches_5d_interpret():
+    """flat_out=True is a pure re-layout of the standard output (the
+    (cbi, ph, pw, cw) lane order of flat_lane_groups), and its backward
+    matches the 5-D path's gradient."""
+    from trcnn.ops.roi_pool_pallas import flat_lane_groups, unflatten_pooled
+
+    # C=512 exercises ncb > 1 at the default 4 MB table budget
+    feat, rois = _fixture(3, C=512, R=8)
+    B, H, W, C = feat.shape
+    R = rois.shape[1]
+    std = np.asarray(roi_max_pool_pallas(
+        jnp.asarray(feat), jnp.asarray(rois), 7, 1 / 16.0, True))
+    flat = roi_max_pool_pallas(
+        jnp.asarray(feat), jnp.asarray(rois), 7, 1 / 16.0, True, True)
+    assert flat.shape == (B * R, 7 * 7 * C)
+    groups = flat_lane_groups(H, W, C, 7, 4)
+    assert groups[0] > 1
+    back = np.asarray(unflatten_pooled(flat, B, R, 7, C, groups))
+    np.testing.assert_allclose(back, std, atol=0)
+
+    g5 = np.random.RandomState(4).randn(B, R, 7, 7, C).astype(np.float32)
+    # flatten g into the kernel's lane order to feed the flat backward
+    ncb, cb = groups
+    gf = np.moveaxis(g5.reshape(B, R, 49, ncb, cb), 3, 2).reshape(
+        B * R, 49 * C)
+    d_flat = jax.vjp(
+        lambda f: roi_max_pool_pallas(f, jnp.asarray(rois), 7, 1 / 16.0,
+                                      True, True),
+        jnp.asarray(feat))[1](jnp.asarray(gf))[0]
+    d_std = jax.vjp(
+        lambda f: roi_max_pool_pallas(f, jnp.asarray(rois), 7, 1 / 16.0,
+                                      True),
+        jnp.asarray(feat))[1](jnp.asarray(g5))[0]
+    np.testing.assert_allclose(np.asarray(d_flat), np.asarray(d_std),
+                               atol=1e-5)

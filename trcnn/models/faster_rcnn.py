@@ -124,6 +124,7 @@ class FasterRCNN(nn.Module):
         path serves CPU and stays the numerical spec.
         """
         b, r = rois.shape[:2]
+        flat_groups = None
         if self.cfg.roi.mode == "align":
             from trcnn.ops.roi_align import roi_align_batched
             pooled = roi_align_batched(
@@ -137,12 +138,45 @@ class FasterRCNN(nn.Module):
             )
             pooled = jax.vmap(pool)(feat, rois)
         else:
-            from trcnn.ops.roi_pool_pallas import roi_max_pool_pallas
+            from trcnn.ops.roi_pool_pallas import (flat_lane_groups,
+                                                   roi_max_pool_pallas)
+            # the fc head consumes a flat (B*R, P*P*C) row per RoI: have
+            # the kernel write that directly (channel-block-major lanes,
+            # fc6 compensates — kills the 1.7 ms/b32 pre-fc6 relayout).
+            # The R101 C5 head convolves over a spatial crop instead, so
+            # it keeps the 5-D layout.
+            # flat_out pays at inference (kills the 1.7 ms/b32 pre-fc6
+            # relayout of 9600 RoI rows); in training the equivalent
+            # relayout is ~0.1 ms (128 RoIs) while the grouped-fc6 weight
+            # (inverse-)permutes and the backward unflatten cost ~5 ms/b8
+            # — so the flat path is test-time only
+            want_flat = self.cfg.backbone == "vgg16" and deterministic
+            pool_rois = rois
+            if want_flat and r % 8:
+                # Mosaic requires the flat output's row blocks be 8-aligned;
+                # pad the RoI capacity (300 -> 304 at test time) with dead
+                # all-zero slots and slice the head outputs back below —
+                # +1.3% head rows vs the 1.7 ms relayout this path removes
+                pool_rois = jnp.pad(rois, ((0, 0), (0, (-r) % 8), (0, 0)))
             pooled = roi_max_pool_pallas(
-                feat, rois, self.pool_size, self.cfg.roi.spatial_scale)
-        flat = pooled.reshape((b * r,) + pooled.shape[2:])
-        cls_score, bbox_pred = self.head(flat, deterministic=deterministic)
-        return (cls_score.reshape(b, r, -1), bbox_pred.reshape(b, r, -1))
+                feat, pool_rois, self.pool_size, self.cfg.roi.spatial_scale,
+                flat_out=want_flat)
+            if want_flat:
+                flat_groups = flat_lane_groups(
+                    feat.shape[1], feat.shape[2], feat.shape[3],
+                    self.pool_size, jnp.dtype(feat.dtype).itemsize)
+        if pooled.ndim == 2:
+            flat = pooled
+        else:
+            flat = pooled.reshape((b * r,) + pooled.shape[2:])
+        if flat_groups is not None:
+            cls_score, bbox_pred = self.head(
+                flat, deterministic=deterministic, flat_groups=flat_groups)
+        else:
+            cls_score, bbox_pred = self.head(flat, deterministic=deterministic)
+        rp = cls_score.shape[0] // b
+        return (cls_score.reshape(b, rp, -1)[:, :r],
+                bbox_pred.reshape(b, rp, -1)[:, :r])
 
     # ---- inference ------------------------------------------------------
 

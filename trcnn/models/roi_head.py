@@ -14,10 +14,40 @@ once at import time.
 
 from __future__ import annotations
 
-from typing import Any, Tuple
+from typing import Any, Optional, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn
+
+
+class _GroupedDense(nn.Module):
+    """nn.Dense whose kernel rows are re-ordered in-graph to match a
+    (channel_block, spatial, c_within) input lane order (the Pallas RoI
+    pool's ``flat_out`` layout).  The PARAM stays in the canonical NHWC
+    flatten order — converters/checkpoints are unaffected; with
+    ``groups=(1, C)`` the permutation is the identity and XLA elides it.
+    """
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray,
+                 groups: Optional[Tuple[int, int]] = None) -> jnp.ndarray:
+        d = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (d, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        k = kernel.astype(self.dtype)
+        if groups is not None and groups[0] > 1:
+            ncb, cb = groups
+            s = d // (ncb * cb)
+            # canonical row order (spatial, cbi, cw) -> input order
+            # (cbi, spatial, cw)
+            k = k.reshape(s, ncb, cb, self.features)
+            k = jnp.moveaxis(k, 1, 0).reshape(d, self.features)
+        return x.astype(self.dtype) @ k + bias.astype(self.dtype)
 
 
 class VGG16RoIHead(nn.Module):
@@ -36,12 +66,13 @@ class VGG16RoIHead(nn.Module):
 
     @nn.compact
     def __call__(
-        self, pooled: jnp.ndarray, deterministic: bool = True
+        self, pooled: jnp.ndarray, deterministic: bool = True,
+        flat_groups: Optional[Tuple[int, int]] = None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         r = pooled.shape[0]
         y = pooled.reshape(r, -1).astype(self.dtype)   # (R, 7*7*512) NHWC order
-        y = nn.relu(nn.Dense(self.hidden, dtype=self.dtype,
-                             param_dtype=jnp.float32, name="fc6")(y))
+        y = nn.relu(_GroupedDense(self.hidden, dtype=self.dtype,
+                                  name="fc6")(y, flat_groups))
         y = nn.Dropout(self.dropout_rate, deterministic=deterministic)(y)
         y = nn.relu(nn.Dense(self.hidden, dtype=self.dtype,
                              param_dtype=jnp.float32, name="fc7")(y))

@@ -44,7 +44,7 @@ from trcnn.ops.roi_pool import max_bin_extent, roi_bin_bounds, roi_max_pool
 
 def _kernel(bounds_ref, aux_ref, table_ref, out_ref, rm_ref, *,
             out_size: int, feat_w: int, feat_c: int, num_rois: int,
-            rois_per_program: int, mbw: int):
+            rois_per_program: int, mbw: int, flat_out: bool):
     # bounds_ref is FLAT (B*R*P,) int32 with the four bin bounds packed in
     # 8-bit fields (hs | he<<8 | ws<<16 | we<<24) — SMEM is a 1 MB budget
     # shared by all prefetched operands, and separate (B, R, P) arrays
@@ -95,8 +95,15 @@ def _kernel(bounds_ref, aux_ref, table_ref, out_ref, rm_ref, *,
                          & (col_idx + ws_c < we))
                 bmax = jnp.max(jnp.where(cmask, win, neg), axis=0)
                 empty = (he <= hs) | (we <= ws)
-                out_ref[0, j, ph, pw, :] = jnp.where(
-                    empty, jnp.zeros_like(bmax), bmax)
+                val = jnp.where(empty, jnp.zeros_like(bmax), bmax)
+                if flat_out:
+                    # pre-flattened (B*R, P*P*C) output: lane offset
+                    # (ph*P + pw)*cblock within this channel block — the
+                    # fc6 input relayout (1.7 ms/b32) never happens
+                    off = (ph * out_size + pw) * feat_c
+                    out_ref[j, off:off + feat_c] = val
+                else:
+                    out_ref[0, j, ph, pw, :] = val
 
 
 def _stage_b_window(w: int, out_size: int) -> int:
@@ -164,8 +171,30 @@ def _channel_block(h: int, w: int, c: int, levels: int, itemsize: int,
     return cblock
 
 
+def flat_lane_groups(h: int, w: int, c: int, out_size: int,
+                     itemsize: int) -> Tuple[int, int]:
+    """(ncb, cblock) lane grouping of the ``flat_out`` forward: the flat
+    feature order is (channel_block, ph, pw, c_within) — channel-block
+    MAJOR, because the kernel's channel grid axis owns a contiguous lane
+    range of the output.  A consumer contracting against the flat axis
+    must permute its weight rows to match (see VGG16RoIHead.fc6)."""
+    levels = _levels_for(max_bin_extent(h, out_size))
+    cblock = _channel_block(h, w, c, levels, itemsize)
+    return c // cblock, cblock
+
+
+def unflatten_pooled(flat: jnp.ndarray, b: int, r: int, out_size: int,
+                     c: int, groups: Tuple[int, int]) -> jnp.ndarray:
+    """(B*R, P*P*C) flat_out array → standard (B, R, P, P, C)."""
+    ncb, cb = groups
+    x = flat.reshape(b, r, ncb, out_size * out_size, cb)
+    x = jnp.moveaxis(x, 2, 3)
+    return x.reshape(b, r, out_size, out_size, c)
+
+
 def _forward(feat: jnp.ndarray, rois: jnp.ndarray, out_size: int,
-             spatial_scale: float, interpret: bool) -> jnp.ndarray:
+             spatial_scale: float, interpret: bool,
+             flat_out: bool = False) -> jnp.ndarray:
     b, h, w, c = feat.shape
     r = rois.shape[1]
     mbh = max_bin_extent(h, out_size)
@@ -188,6 +217,25 @@ def _forward(feat: jnp.ndarray, rois: jnp.ndarray, out_size: int,
     ncb = c // cblock
     rpp = next(g for g in (8, 4, 2, 1) if r % g == 0)
     mbw = _stage_b_window(w, out_size)
+    pp = out_size * out_size
+    if flat_out and r % 8:
+        raise ValueError(
+            f"flat_out needs the RoI capacity ({r}) padded to a multiple "
+            "of 8 — Mosaic requires 8-aligned output row blocks "
+            "(the model pads dead RoI slots and slices head outputs back)")
+    if flat_out:
+        out_spec = pl.BlockSpec(
+            (rpp, pp * cblock),
+            lambda bb, cc, rr, *_: (bb * (r // rpp) + rr, cc),
+            memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((b * r, pp * c), feat.dtype)
+    else:
+        out_spec = pl.BlockSpec(
+            (1, rpp, out_size, out_size, cblock),
+            lambda bb, cc, rr, *_: (bb, rr, 0, 0, cc),
+            memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((b, r, out_size, out_size, c),
+                                         feat.dtype)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(b, ncb, r // rpp),
@@ -196,19 +244,16 @@ def _forward(feat: jnp.ndarray, rois: jnp.ndarray, out_size: int,
                          lambda bb, cc, rr, *_: (bb, 0, 0, 0, cc),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (1, rpp, out_size, out_size, cblock),
-            lambda bb, cc, rr, *_: (bb, rr, 0, 0, cc),
-            memory_space=pltpu.VMEM),
+        out_specs=out_spec,
         scratch_shapes=[pltpu.VMEM((w, cblock), feat.dtype)],
     )
     kern = functools.partial(_kernel, out_size=out_size,
                              feat_w=w, feat_c=cblock, num_rois=r,
-                             rois_per_program=rpp, mbw=mbw)
+                             rois_per_program=rpp, mbw=mbw,
+                             flat_out=flat_out)
     return pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((b, r, out_size, out_size, c),
-                                       feat.dtype),
+        out_shape=out_shape,
         grid_spec=grid_spec,
         interpret=interpret,
     )(packed, aux, table)
@@ -275,18 +320,25 @@ def _bwd_kernel(bounds_ref, feat_ref, pooled_ref, g_ref, dfeat_ref,
         dfeat_ref[0, pl.ds(hs_c, mbh), :, :] = cur + dband_ref[...]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
 def roi_max_pool_pallas(feat: jnp.ndarray, rois: jnp.ndarray,
                         out_size: int = 7,
                         spatial_scale: float = 1.0 / 16.0,
-                        interpret: bool = False) -> jnp.ndarray:
+                        interpret: bool = False,
+                        flat_out: bool = False) -> jnp.ndarray:
     """Batched RoI max pooling: feat (B,H,W,C), rois (B,R,4) →
-    (B, R, out, out, C).  Drop-in for vmap(roi_max_pool)."""
-    return _forward(feat, rois, out_size, spatial_scale, interpret)
+    (B, R, out, out, C).  Drop-in for vmap(roi_max_pool).
+
+    ``flat_out=True`` returns (B*R, out*out*C) with the fc6-ready
+    (channel_block, ph, pw, c) lane order of ``flat_lane_groups`` —
+    written directly by the kernel, so no relayout sits between the pool
+    and the head matmul."""
+    return _forward(feat, rois, out_size, spatial_scale, interpret,
+                    flat_out)
 
 
-def _fwd(feat, rois, out_size, spatial_scale, interpret):
-    out = _forward(feat, rois, out_size, spatial_scale, interpret)
+def _fwd(feat, rois, out_size, spatial_scale, interpret, flat_out):
+    out = _forward(feat, rois, out_size, spatial_scale, interpret, flat_out)
     return out, (feat, rois, out)
 
 
@@ -335,8 +387,17 @@ def _backward_pallas(feat, rois, pooled, g, out_size, spatial_scale,
     return dfeat.astype(feat.dtype)
 
 
-def _bwd(out_size, spatial_scale, interpret, res, g):
+def _bwd(out_size, spatial_scale, interpret, flat_out, res, g):
     feat, rois, pooled = res
+    if flat_out:
+        # backward kernel consumes the standard 5-D layout; the train-time
+        # g/pooled unflatten is a ~51 MB relayout at the b8x128 shape
+        b, c = feat.shape[0], feat.shape[3]
+        r = rois.shape[1]
+        groups = flat_lane_groups(feat.shape[1], feat.shape[2], c, out_size,
+                                  feat.dtype.itemsize)
+        pooled = unflatten_pooled(pooled, b, r, out_size, c, groups)
+        g = unflatten_pooled(g, b, r, out_size, c, groups)
     if jax.default_backend() == "cpu" and not interpret:
         # CPU fallback: differentiate the XLA formulation (same forward
         # semantics ⇒ same even-tie-split gradient)
