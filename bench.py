@@ -47,10 +47,12 @@ def main() -> int:
                          "cluster).  Default: random init")
     ap.add_argument("--p50_batch1", action="store_true",
                     help="also measure batch-1 p50 latency (stderr)")
-    ap.add_argument("--uint8", action="store_true",
-                    help="feed raw uint8 canvases (the production loader "
-                         "contract; mean-subtract/mask run on device and "
-                         "fuse into the stem input relayout)")
+    ap.add_argument("--input", default="uint8", choices=["uint8", "float"],
+                    help="canvas format.  uint8 is the production loader "
+                         "contract (4x fewer host->device bytes; mean-"
+                         "subtract/mask run on device and fuse into the "
+                         "stem input relayout); float benches a pre-"
+                         "subtracted compute-dtype canvas")
     args = ap.parse_args()
 
     import jax
@@ -71,7 +73,7 @@ def main() -> int:
     # synthetic 600x1000 inputs on the padded canvas, shipped in the
     # model's compute dtype (an f32 canvas costs an extra device-side
     # relayout+cast pass — ~0.9 ms at b8 in the r1 trace) or as raw uint8
-    if args.uint8:
+    if args.input == "uint8":
         images = jax.random.randint(rng, (b, h, w, 3), 0, 256, jnp.uint8)
     else:
         images = (jax.random.normal(rng, (b, h, w, 3), jnp.float32) * 30.0
