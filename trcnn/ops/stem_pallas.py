@@ -24,9 +24,16 @@ structural fixes, neither expressible at the XLA level:
      packed (s=0, s=1) lanes of one k-column).
 
 conv1_1's 3 input channels cannot fill lanes either way, so its input is
-pre-im2col'd in XLA into 36-lane patches (window rows 3 x cols 4 per packed
-output pair, base ``2k - 2``), and the kernel computes it as one
-``(M, 36) @ (36, 128)`` dot straight into the packed layout.
+im2col'd into 36-lane patches (window rows 3 x cols 4 per packed output
+pair, base ``2k - 2``) and computed as one ``(M, 36) @ (36, 128)`` dot
+straight into the packed layout.  The patch tensor is built IN KERNEL
+from a transposed packed image ``(B, H+4, 2*Cin, W/2+2)`` — six shifted
+``(2*Cin, wk)`` copies into an 8-aligned-sublane ``(48, wk)`` scratch,
+consumed by a TN ``dot_general`` (contraction on the sublane dim).
+Materializing the patches in XLA instead costs 7.4 ms/b32: the 36-lane
+concat is built in a transposed layout and then relayout-copied (5.2 ms)
+to the standard layout Pallas requires.  The transposed source is one
+fused XLA transpose pass (~1 pass over the 113 MB packed image).
 
 Numerics match the XLA path (bf16 MXU dots, f32 accumulation, bias + ReLU
 applied in the compute dtype) up to f32-accumulation ordering inside the
@@ -51,27 +58,56 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _pack_w1(w1: jnp.ndarray) -> jnp.ndarray:
-    """(3, 3, Cin, C) HWIO conv1_1 kernel → (12*Cin, 2C) patch matrix.
+def _pack_w1t(w1: jnp.ndarray) -> jnp.ndarray:
+    """(3, 3, Cin, C) HWIO conv1_1 kernel → (48, 2C) patch-row matrix.
 
-    Patch lane order is (dy, j, px, ci) — j ∈ {0, 1} the two parity-merged
-    input columns (k-1+j), px the parity within — covering input cols
+    Patch ROW order is six 8-aligned sublane groups i = 2*dy + j —
+    j ∈ {0, 1} the two parity-merged input columns (k-1+j) — each holding
+    (px, ci) in its first 2*Cin rows, covering input cols
     2k + (2j + px) - 2.  Packed output col x = 2k + p - 1 needs taps
-    x + dj, so W1m[(dy, j, px, ci), (p, c)] = w1[dy, 2j + px - p, ci, c]
-    for 0 <= 2j+px-p <= 2, else 0.
+    x + dj, so W1T[8i + px*Cin + ci, (p, c)] = w1[dy, 2j + px - p, ci, c]
+    for 0 <= 2j+px-p <= 2, else 0.  The 8 - 2*Cin slack rows per group are
+    zero: the in-kernel patch scratch writes (2*Cin, wk) pieces at
+    8-aligned sublane offsets (Mosaic-friendly) and the zero weight rows
+    nullify whatever the slack rows hold.
     """
-    z = jnp.zeros_like(w1[:, 0])                          # (3, Cin, C)
-    blocks = []
-    for p in (0, 1):
-        rows = []
-        for j in (0, 1):
-            for px in (0, 1):
-                dx = 2 * j + px - p
-                rows.append(w1[:, dx] if 0 <= dx <= 2 else z)
-        blocks.append(jnp.stack(rows, axis=1))            # (3, 4, Cin, C)
-    w1m = jnp.stack(blocks, axis=3)                       # (3, 4, Cin, 2, C)
     cin, c = w1.shape[2:]
-    return w1m.reshape(12 * cin, 2 * c)
+    if 2 * cin > 8:
+        raise ValueError(f"stem kernel supports Cin <= 4, got {cin}")
+    z = jnp.zeros((cin, c), w1.dtype)
+    groups = []
+    for dy in range(3):
+        for j in (0, 1):
+            pxci = []
+            for px in (0, 1):
+                per_p = []
+                for p in (0, 1):
+                    dx = 2 * j + px - p
+                    per_p.append(w1[dy, dx] if 0 <= dx <= 2 else z)
+                pxci.append(jnp.stack(per_p, axis=1))     # (Cin, 2, C)
+            g = jnp.stack(pxci, axis=0).reshape(2 * cin, 2 * c)
+            groups.append(jnp.pad(g, ((0, 8 - 2 * cin), (0, 0))))
+    return jnp.concatenate(groups, axis=0)                # (48, 2C)
+
+
+def _pack_w1t_phases(w1: jnp.ndarray) -> jnp.ndarray:
+    """(3, 3, Cin, C) → (3, 48, 2C): the three dy-rotations of _pack_w1t.
+
+    The kernel keeps its patch scratch's sublane groups in CYCLIC row
+    slots (image row ri lives in slot ri % 3) so that advancing one patch
+    row rewrites only the newly-entering image row (2 of 6 groups) instead
+    of all six.  The dot then uses phase p = r % 3, whose slot s carries
+    dy = (s - p) mod 3.
+    """
+    base = _pack_w1t(w1)
+    phases = []
+    for p in range(3):
+        order = []
+        for s in range(3):
+            dy = (s - p) % 3
+            order.append(base[16 * dy:16 * (dy + 1)])     # groups (dy, j=0/1)
+        phases.append(jnp.concatenate(order, axis=0))
+    return jnp.stack(phases)                              # (3, 48, 2C)
 
 
 def _pack_w2(w2: jnp.ndarray) -> jnp.ndarray:
@@ -97,29 +133,27 @@ def _pack_w2(w2: jnp.ndarray) -> jnp.ndarray:
     return w2m.reshape(3, 2, 2 * c, 2 * c)
 
 
-def _patches_packed(x: jnp.ndarray) -> jnp.ndarray:
-    """(B, H, W, Cin) → conv1_1 input patches (B, H+2, W/2+1, 12*Cin).
+def _packed_image_t(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W, Cin) → transposed packed image (B, H+4, 2*Cin, W/2+2).
 
-    Patch (r, k) holds input rows r-2..r (r = conv1_1 row + 1, covering the
-    row halo y ∈ {-1, H}) x cols 2k-2..2k+1, lane order (dy, j, px, ci) —
-    matching _pack_w1.  Built from ONE parity reshape (W → W/2 column
-    pairs on lanes) + six UNSTRIDED shifted slices: step-2 strided slices
-    of the raw image lower to while-loops on TPU (~10 ms/b32 measured),
-    this form is two plain copy passes (~1.5 ms).
+    One parity reshape (W → W/2 column pairs on lanes — a pure bitcast),
+    SAME-pad halos (2 rows each side covering conv row -1/H plus the dy
+    window, 1 packed col each side), then a W↔C transpose so the packed
+    channel dim (2*Cin = 6) sits on SUBLANES and the column dim on lanes.
+    This is the layout the kernel's patch builder wants, and XLA lowers
+    the whole chain (uint8 prep included) into a single relayout pass —
+    materializing the full 36-lane patch tensor in XLA instead costs
+    ~7.4 ms/b32 (transposed-layout build + relayout copy).
     """
     b, h, w, cin = x.shape
     xs = x.reshape(b, h, w // 2, 2 * cin)
     xsp = jnp.pad(xs, ((0, 0), (2, 2), (1, 1), (0, 0)))
-    wk = w // 2 + 1
-    slices = []
-    for dy in range(3):
-        for j in range(2):
-            slices.append(xsp[:, dy:dy + h + 2, j:j + wk, :])
-    return jnp.concatenate(slices, axis=-1)               # (B, H+2, wk, 12Cin)
+    return jnp.transpose(xsp, (0, 1, 3, 2))               # (B, H+4, 2Cin, wk+1)
 
 
 def _kernel(cur_ref, nxt_ref, w1_ref, w2_ref, b1_ref, b2_ref, out_ref,
-            x1p_ref, y2_ref, *, r_pool: int, wk: int, t_count: int):
+            x1p_ref, y2_ref, patt_ref, *, r_pool: int, wk: int,
+            t_count: int):
     # All compute is expressed as 2D (M, K) @ (K, N) dots + 2D VPU ops —
     # Mosaic rejects the rank-3 forms here (shape casts over the odd
     # wk = W/2 + 1 sublane extent, strided slices as >2D gathers).
@@ -127,8 +161,9 @@ def _kernel(cur_ref, nxt_ref, w1_ref, w2_ref, b1_ref, b2_ref, out_ref,
     rows = 2 * r_pool + 2
     dtype = out_ref.dtype
     half = x1p_ref.shape[-1] // 2
+    c2 = cur_ref.shape[2]                                 # 2*Cin
 
-    # ---- conv1_1: per-row (wk, 36) @ (36, 2C) dots into packed layout ---
+    # ---- conv1_1: per-row TN dot (48, wk)^T-contract (48, 2C) ----------
     # zero the SAME-padding halo AFTER bias+relu (relu(bias) != 0):
     # packed col (0, p=0) is x = -1, (wk-1, p=1) is x = W; row 0 of tile 0
     # is conv row -1, last row of the last tile is conv row H.
@@ -136,14 +171,36 @@ def _kernel(cur_ref, nxt_ref, w1_ref, w2_ref, b1_ref, b2_ref, out_ref,
     lidx = lax.broadcasted_iota(jnp.int32, (wk, 2 * half), 1)
     col_halo = (((kidx == 0) & (lidx < half))
                 | ((kidx == wk - 1) & (lidx >= half)))
-    w1m = w1_ref[...]
+    if c2 < 8:
+        # slack rows of each 8-aligned group: W1T's matching rows are
+        # zero, but uninitialized VMEM can decode to NaN (NaN * 0 = NaN)
+        for i in range(6):
+            patt_ref[8 * i + c2:8 * (i + 1), :] = jnp.zeros((8 - c2, wk),
+                                                            dtype)
+
+    def write_row(ri):
+        # transposed-image row ri of the tile window (first 2R rows from
+        # this tile's block, the 4-row tail from the next tile's — the
+        # second input stream avoids materializing overlapping halo
+        # tiles) → its two shifted (2Cin, wk) pieces land in the CYCLIC
+        # sublane slot ri % 3 of the (48, wk) patch scratch
+        src = (cur_ref[0, ri] if ri < 2 * r_pool
+               else nxt_ref[0, ri - 2 * r_pool])          # (2Cin, wk+1)
+        for j in range(2):
+            g = 2 * (ri % 3) + j
+            patt_ref[8 * g:8 * g + c2, :] = src[:, j:j + wk]
+
+    # patch row r needs image rows r..r+2: rows r, r+1 are already in
+    # their slots from the previous iterations — only r+2 enters.
+    # Building the 36-lane patch tensor in XLA instead costs a
+    # 7.4 ms/b32 transposed-layout build + relayout copy.
+    write_row(0)
+    write_row(1)
     for r in range(rows):
-        # tile t's patch rows [2Rt, 2Rt+2R+2): the first 2R come from this
-        # tile's block, the 2-row tail from the NEXT tile's block (second
-        # input stream — avoids materializing overlapping halo tiles)
-        src = cur_ref[0, r] if r < 2 * r_pool else nxt_ref[0, r - 2 * r_pool]
-        acc1 = jnp.dot(src, w1m,
-                       preferred_element_type=jnp.float32)
+        write_row(r + 2)
+        acc1 = lax.dot_general(patt_ref[...], w1_ref[r % 3],
+                               (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
         y1 = jnp.maximum(acc1.astype(dtype) + b1_ref[...], 0)
         row_halo = (((t == 0) & (r == 0))
                     | ((t == t_count - 1) & (r == rows - 1)))
@@ -218,14 +275,17 @@ def _fused_impl(x, w1, b1, w2, b2, r_pool, interpret):
     c = w1.shape[-1]
     if h % (2 * r_pool) or w % 2:
         raise ValueError(f"canvas {h}x{w} not tileable (r_pool={r_pool})")
+    if r_pool % 2:
+        raise ValueError("r_pool must be even (the 4-row tail stream sits "
+                         "at block offset r_pool*(t+1)/2)")
     wk = w // 2 + 1
     t_count = h // (2 * r_pool)
     rows = 2 * r_pool + 2
     dtype = x.dtype
-    kdim = 12 * cin
+    c2 = 2 * cin
 
-    pat = _patches_packed(x).astype(dtype)                # (B, H+2, wk, 12Cin)
-    w1m = _pack_w1(w1.astype(dtype))
+    xt = _packed_image_t(x).astype(dtype)                 # (B, H+4, 2Cin, wk+1)
+    w1m = _pack_w1t_phases(w1.astype(dtype))              # (3, 48, 2C)
     w2m = _pack_w2(w2.astype(dtype))
     b1p = jnp.tile(b1.astype(dtype), 2)[None]             # (1, 2C)
     b2p = jnp.tile(b2.astype(dtype), 2)[None]
@@ -233,13 +293,13 @@ def _fused_impl(x, w1, b1, w2, b2, r_pool, interpret):
     grid = (b, t_count)
     rp = r_pool  # capture as local: BlockSpec lambdas must not close over self
     in_specs = [
-            pl.BlockSpec((1, 2 * rp, wk, kdim),
+            pl.BlockSpec((1, 2 * rp, c2, wk + 1),
                          lambda bb, tt: (bb, tt, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2, wk, kdim),
-                         lambda bb, tt: (bb, rp * (tt + 1), 0, 0),
+            pl.BlockSpec((1, 4, c2, wk + 1),
+                         lambda bb, tt: (bb, rp * (tt + 1) // 2, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((kdim, 2 * c), lambda bb, tt: (0, 0),
+            pl.BlockSpec((3, 48, 2 * c), lambda bb, tt: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((3, 2, 2 * c, 2 * c), lambda bb, tt: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -259,9 +319,10 @@ def _fused_impl(x, w1, b1, w2, b2, r_pool, interpret):
         in_specs=in_specs,
         out_specs=out_spec,
         scratch_shapes=[pltpu.VMEM((rows, wk, 2 * c), dtype),
-                        pltpu.VMEM((2 * r_pool, wk - 1, 2 * c), dtype)],
+                        pltpu.VMEM((2 * r_pool, wk - 1, 2 * c), dtype),
+                        pltpu.VMEM((48, wk), dtype)],
         interpret=interpret,
-    )(pat, pat, w1m, w2m, b1p, b2p)
+    )(xt, xt, w1m, w2m, b1p, b2p)
 
 
 def stem_block1_reference(x, w1, b1, w2, b2):
