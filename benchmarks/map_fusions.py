@@ -67,6 +67,9 @@ def main():
     ap.add_argument("--hlo_out", default="/tmp/detect_hlo.txt")
     ap.add_argument("--train", action="store_true",
                     help="map the train step instead of detect")
+    ap.add_argument("--input", default="uint8", choices=["uint8", "float"],
+                    help="canvas format; uint8 mirrors bench.py (detect "
+                         "mapping only — the train step feeds float)")
     args = ap.parse_args()
 
     import jax
@@ -81,7 +84,10 @@ def main():
     model = make_model(cfg, dtype=dtype)
     b, h, w = args.batch_size, cfg.image.pad_h, cfg.image.pad_w
     rng = jax.random.PRNGKey(0)
-    images = jax.random.normal(rng, (b, h, w, 3), jnp.float32) * 30.0
+    if args.input == "uint8" and not args.train:
+        images = jax.random.randint(rng, (b, h, w, 3), 0, 256, jnp.uint8)
+    else:
+        images = jax.random.normal(rng, (b, h, w, 3), jnp.float32) * 30.0
     im_info = jnp.tile(jnp.asarray([[600.0, 1000.0, 1.6]], jnp.float32), (b, 1))
     params = jax.jit(model.init)(rng, images, im_info)
 

@@ -27,6 +27,9 @@ def main():
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--logdir", default="/tmp/trcnn_trace")
     ap.add_argument("--top", type=int, default=25)
+    ap.add_argument("--input", default="uint8", choices=["uint8", "float"],
+                    help="canvas format; uint8 mirrors bench.py's "
+                         "production loader contract")
     args = ap.parse_args()
 
     from trcnn.config import voc_config
@@ -38,7 +41,11 @@ def main():
     model = make_model(cfg, dtype=dtype)
     b, h, w = args.batch_size, cfg.image.pad_h, cfg.image.pad_w
     rng = jax.random.PRNGKey(0)
-    images = jax.random.normal(rng, (b, h, w, 3), jnp.float32) * 30.0
+    if args.input == "uint8":
+        images = jax.random.randint(rng, (b, h, w, 3), 0, 256, jnp.uint8)
+    else:
+        images = (jax.random.normal(rng, (b, h, w, 3), jnp.float32) * 30.0
+                  ).astype(dtype)
     im_info = jnp.tile(jnp.asarray([[600.0, 1000.0, 1.6]], jnp.float32), (b, 1))
     params = jax.jit(model.init)(rng, images, im_info)
 
