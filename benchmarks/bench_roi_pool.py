@@ -33,6 +33,9 @@ def main() -> int:
     ap.add_argument("--flat_out", action="store_true", default=True)
     ap.add_argument("--check", action="store_true",
                     help="compare outputs across rpp settings")
+    ap.add_argument("--bwd", action="store_true",
+                    help="bench the backward scatter kernel instead "
+                         "(use --batch 8 --rois 128 for the train shape)")
     args = ap.parse_args()
 
     import jax
@@ -52,6 +55,24 @@ def main() -> int:
     rois = jnp.asarray(np.stack([x1, y1, x2, y2], -1).astype(np.float32))
 
     def make_run(flat):
+        if args.bwd:
+            pooled = rpp_mod.roi_max_pool_pallas(feat, rois, 7, 1.0 / 16.0,
+                                                 False, False)
+            g = jnp.asarray(rng.randn(*pooled.shape).astype(np.float32)
+                            ).astype(pooled.dtype)
+
+            @jax.jit
+            def run(f, r):
+                def body(carry, _):
+                    df = rpp_mod._backward_pallas(
+                        f + carry.astype(f.dtype), r, pooled, g,
+                        7, 1.0 / 16.0, False)
+                    return jnp.float32(df[0, 0, 0, 0]) * 1e-30, None
+                carry, _ = lax.scan(body, jnp.float32(0), None,
+                                    length=args.inner)
+                return carry
+            return run
+
         @jax.jit
         def run(f, r):
             def body(carry, _):

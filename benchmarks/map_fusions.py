@@ -125,10 +125,15 @@ def main():
     events = t["traceEvents"]
     pids = {e["pid"]: e["args"].get("name", "") for e in events
             if e.get("ph") == "M" and e.get("name") == "process_name"}
+    tids = {(e["pid"], e["tid"]) for e in events
+            if e.get("ph") == "M" and e.get("name") == "thread_name"
+            and e["args"].get("name") == "XLA Ops"}
     agg = collections.Counter()
     for e in events:
         if (e.get("ph") == "X" and "dur" in e
-                and "TPU" in pids.get(e["pid"], "") and "jit_" not in e["name"]):
+                and "TPU" in pids.get(e["pid"], "")
+                and (e["pid"], e.get("tid")) in tids
+                and "jit_" not in e["name"]):
             agg[e["name"]] += e["dur"]
 
     nsteps = 3

@@ -30,6 +30,9 @@ def main():
     ap.add_argument("--input", default="uint8", choices=["uint8", "float"],
                     help="canvas format; uint8 mirrors bench.py's "
                          "production loader contract")
+    ap.add_argument("--train", action="store_true",
+                    help="trace the train step instead of detect "
+                         "(float canvas — the trainer feeds float)")
     args = ap.parse_args()
 
     from trcnn.config import voc_config
@@ -49,20 +52,39 @@ def main():
     im_info = jnp.tile(jnp.asarray([[600.0, 1000.0, 1.6]], jnp.float32), (b, 1))
     params = jax.jit(model.init)(rng, images, im_info)
 
-    full = jax.jit(lambda p, x, i: postprocess(
-        model.apply(p, x, i, method="detect"), i, cfg))
+    if args.train:
+        from trcnn.train.optim import make_optimizer
+        from trcnn.train.step import TrainState, make_train_step
 
-    def sync(det):
-        # a host read is the only reliable execution fence on the tunneled
-        # chip (block_until_ready can return before execution completes)
-        return float(np.asarray(det.scores[0, 0]))
+        tx = make_optimizer(params, cfg.optim, cfg.backbone)
+        state = TrainState.create(params, tx)
+        step = make_train_step(model, tx, mesh=None, donate=True)
+        gt_boxes = jnp.zeros((b, 8, 4), jnp.float32).at[:, 0].set(
+            jnp.asarray([50.0, 50.0, 300.0, 300.0]))
+        batch = {"images": images, "im_info": im_info, "gt_boxes": gt_boxes,
+                 "gt_labels": jnp.ones((b, 8), jnp.int32),
+                 "gt_valid": jnp.zeros((b, 8), bool).at[:, 0].set(True)}
+        state_box = [state]
 
-    sync(full(params, images, im_info))
+        def run():
+            state_box[0], metrics = step(state_box[0], batch, rng)
+            return float(np.asarray(metrics["loss"]))
+    else:
+        full = jax.jit(lambda p, x, i: postprocess(
+            model.apply(p, x, i, method="detect"), i, cfg))
+
+        def run():
+            det = full(params, images, im_info)
+            # a host read is the only reliable execution fence on the
+            # tunneled chip (block_until_ready can return early)
+            return float(np.asarray(det.scores[0, 0]))
+
+    run()
     print("compiled; tracing...", flush=True)
 
     with jax.profiler.trace(args.logdir):
         for _ in range(3):
-            sync(full(params, images, im_info))
+            run()
 
     # chrome-trace parsing only — the tensorboard profile plugin's
     # generated protos clash with this environment's protobuf
@@ -75,11 +97,17 @@ def main():
     events = t["traceEvents"]
     pids = {e["pid"]: e["args"].get("name", "") for e in events
             if e.get("ph") == "M" and e.get("name") == "process_name"}
+    # only the "XLA Ops" rail — the Steps / XLA Modules / TC Overlay rails
+    # carry whole-step envelope events that double-count everything
+    tids = {(e["pid"], e["tid"]) for e in events
+            if e.get("ph") == "M" and e.get("name") == "thread_name"
+            and e["args"].get("name") == "XLA Ops"}
     agg = collections.Counter()
     total = 0
     for e in events:
         if (e.get("ph") == "X" and "dur" in e
                 and "TPU" in pids.get(e["pid"], "")
+                and (e["pid"], e.get("tid")) in tids
                 and "jit_" not in e["name"]):
             agg[e["name"]] += e["dur"]
             total += e["dur"]

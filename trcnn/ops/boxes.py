@@ -120,3 +120,23 @@ def box_iou(boxes: jnp.ndarray, query: jnp.ndarray) -> jnp.ndarray:
     inter = wh[..., 0] * wh[..., 1]
     union = area_n + area_k - inter
     return jnp.where(union > 0, inter / union, 0.0)
+
+
+def box_overlap_gt(boxes: jnp.ndarray, query: jnp.ndarray,
+                   thresh) -> jnp.ndarray:
+    """Pairwise ``IoU > thresh`` predicate (..., N, K), division-free.
+
+    inter/(a+b-inter) > t  ⟺  inter*(1+t) > t*(a+b) for positive areas —
+    the VPU reciprocal chain is the costliest op of a broadcast IoU pass.
+    Rounding can differ from the divided form within ~1 ulp of the
+    threshold (the reference's cpu_nms/gpu_nms pair diverges the same
+    way).  Used by the NMS hot paths, which only consume the predicate.
+    """
+    t = jnp.asarray(thresh, jnp.float32)
+    ta_n = t * box_area(boxes)[..., :, None]
+    ta_k = t * box_area(query)[..., None, :]
+    lt = jnp.maximum(boxes[..., :, None, :2], query[..., None, :, :2])
+    rb = jnp.minimum(boxes[..., :, None, 2:], query[..., None, :, 2:])
+    wh = jnp.maximum(rb - lt + 1.0, 0.0)
+    inter = wh[..., 0] * wh[..., 1]
+    return inter * (1.0 + t) > ta_n + ta_k

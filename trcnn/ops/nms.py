@@ -42,7 +42,7 @@ import numpy as np
 import jax.numpy as jnp
 from jax import lax
 
-from trcnn.ops.boxes import box_iou
+from trcnn.ops.boxes import box_overlap_gt
 
 _NEG_INF = np.float32(-np.inf)
 
@@ -147,7 +147,8 @@ def nms_padded(
         keep[c] = valid[c] & !any_{r<c}(keep[r] & over[r,c]).  Jacobi
         iteration converges in suppression-chain depth (the while_loop
         tracks it exactly), and the fixpoint IS the greedy solution."""
-        upper = (box_iou(tb, tb) > iou_thresh) & upper_mask  # (T, T)
+        # division-free overlap predicate (box_overlap_gt docstring)
+        upper = box_overlap_gt(tb, tb, iou_thresh) & upper_mask  # (T, T)
         if tg is not None:
             upper &= tg[:, None] == tg[None, :]
 
@@ -185,7 +186,7 @@ def nms_padded(
                   else lax.dynamic_slice(sgroups, (start,), (tile,)))
 
             kept_prefix = ~suppressed & (pos < start)            # (N,)
-            over_tn = box_iou(tb, sboxes) > iou_thresh           # (T, N)
+            over_tn = box_overlap_gt(tb, sboxes, iou_thresh)     # (T, N)
             if tg is not None:
                 over_tn &= tg[:, None] == sgroups[None, :]
             killed = jnp.any(over_tn & kept_prefix[None, :], axis=1)

@@ -79,6 +79,7 @@ def _suppression_kernel(x1_ref, y1_ref, x2_ref, y2_ref, valid_ref,
         tx2 = x2_ref[0, pl.ds(start, tile)].reshape(tile, 1)
         ty2 = y2_ref[0, pl.ds(start, tile)].reshape(tile, 1)
         tarea = (tx2 - tx1 + 1.0) * (ty2 - ty1 + 1.0)
+        t_tarea = thresh * tarea                              # (T, 1)
 
         valid_col = keep_ref[0, pl.ds(start, tile)].reshape(tile, 1)  # (T,1)
         row_ids = lax.broadcasted_iota(jnp.int32, (tile, tile), 0)
@@ -92,7 +93,13 @@ def _suppression_kernel(x1_ref, y1_ref, x2_ref, y2_ref, valid_ref,
         uw = jnp.maximum(uxx2 - uxx1 + 1.0, 0.0)
         uh = jnp.maximum(uyy2 - uyy1 + 1.0, 0.0)
         uinter = uw * uh
-        over_tt = uinter / (tarea + tarea.reshape(1, tile) - uinter) > thresh
+        # division-free predicate: inter/(a+b-inter) > t  ⟺
+        # inter*(1+t) > t*(a+b) for positive areas — the VPU reciprocal
+        # chain was the single costliest op of the IoU block.  Rounding
+        # can differ from IEEE division within ~1 ulp of the threshold
+        # (the reference's cpu_nms/gpu_nms pair diverges the same way).
+        over_tt = (uinter * (1.0 + thresh)
+                   > t_tarea + t_tarea.reshape(1, tile))
         # upper[r, c] = 1 iff row r suppresses col c (r strictly before c)
         upper = ((col_ids > row_ids) & over_tt).astype(jnp.int32)
 
@@ -144,7 +151,8 @@ def _suppression_kernel(x1_ref, y1_ref, x2_ref, y2_ref, valid_ref,
             w = jnp.maximum(xx2 - xx1 + 1.0, 0.0)
             h = jnp.maximum(yy2 - yy1 + 1.0, 0.0)
             inter = w * h
-            over_b = (inter / (tarea + barea - inter) > thresh
+            # division-free (see over_tt above)
+            over_b = (inter * (1.0 + thresh) > t_tarea + thresh * barea
                       ).astype(jnp.int32)
             killed = jnp.max(over_b * keep_col, axis=0,
                              keepdims=True)               # (1, CB)

@@ -22,7 +22,7 @@ from trcnn.config import AnchorConfig, ProposalConfig
 from trcnn.ops.anchors import shifted_anchors
 from trcnn.ops.boxes import bbox_transform_inv, clip_boxes
 from trcnn.ops.nms import nms_padded
-from trcnn.ops.topk import masked_topk
+from trcnn.ops.topk import masked_topk_payload
 
 
 class Proposals(NamedTuple):
@@ -84,8 +84,13 @@ def proposal_layer(
     valid = size_ok & grid_ok
 
     pre_k = min(cfg.pre_nms_topk(train), scores.shape[0])
-    top_scores, top_idx, top_valid = masked_topk(scores, valid, pre_k)
-    top_boxes = jnp.take(proposals, top_idx, axis=0)
+    # box coordinates ride the top-k sort as payload operands — on TPU
+    # lax.top_k(21888→12000/6000) + an (N, 4) row-gather is slower than
+    # one stable 5-operand sort (see masked_topk_payload)
+    top_scores, (px1, py1, px2, py2), top_valid = masked_topk_payload(
+        scores, valid, pre_k,
+        proposals[:, 0], proposals[:, 1], proposals[:, 2], proposals[:, 3])
+    top_boxes = jnp.stack([px1, py1, px2, py2], axis=-1)
 
     post_k = cfg.post_nms_topk(train)
     # masked_topk's output is already score-sorted descending with invalid

@@ -267,7 +267,8 @@ def _forward(feat: jnp.ndarray, rois: jnp.ndarray, out_size: int,
 
 def _bwd_kernel(bounds_ref, feat_ref, pooled_ref, g_ref, dfeat_ref,
                 dband_ref, *, out_size: int, mbh: int, mbw: int,
-                feat_h: int, feat_w: int, feat_c: int, num_rois: int):
+                feat_h: int, feat_w: int, feat_c: int, num_rois: int,
+                rois_per_program: int):
     """Gradient scatter: dfeat[y,x,c] += g[bin,c]/|argmax set| for every
     bin whose max the cell attains (even tie-split — matching the XLA
     reduce_max VJP the previous backward used).  The dfeat block for image
@@ -277,53 +278,58 @@ def _bwd_kernel(bounds_ref, feat_ref, pooled_ref, g_ref, dfeat_ref,
     Per-bin work runs on an (MBH, MBW, C) column window (8-aligned dynamic
     start, like the forward's stage B) instead of the full-width band —
     ~3x less VPU traffic at the VGG 64-col map; this kernel was the single
-    largest op of the b8 train step (27.9 ms) in the full-width form."""
-    # grid is (B, C-blocks, R) with R innermost so the dfeat block for a
-    # given (image, channel-block) stays VMEM-resident while every RoI
-    # accumulates into it; channel blocking bounds the VMEM stack (full
-    # f32 512-channel blocks overflow the 16 MB scoped budget)
+    largest op of the b8 train step (27.9 ms) in the full-width form.
+    """
+    # grid is (B, C-blocks, R/rpp) with RoIs innermost so the dfeat block
+    # for a given (image, channel-block) stays VMEM-resident while every
+    # RoI accumulates into it; channel blocking bounds the VMEM stack
+    # (full f32 512-channel blocks overflow the 16 MB scoped budget)
     b = pl.program_id(0)
-    r = pl.program_id(2)
-    base = (b * num_rois + r) * out_size
+    rg = pl.program_id(2)
     sliced = mbw < feat_w
     win_w = mbw if sliced else feat_w
     col_idx = lax.broadcasted_iota(jnp.int32, (win_w, feat_c), 0)
     band_rows = lax.broadcasted_iota(jnp.int32, (mbh, win_w, feat_c), 0)
 
-    @pl.when(r == 0)
+    @pl.when(rg == 0)
     def _init():
         dfeat_ref[...] = jnp.zeros_like(dfeat_ref)
 
-    for ph in range(out_size):
-        packed_h = bounds_ref[base + ph]
-        hs = packed_h & 0xFF
-        he = (packed_h >> 8) & 0xFF
-        hs_c = jnp.clip(hs, 0, max(feat_h - mbh, 0))
-        rmask = (band_rows + hs_c >= hs) & (band_rows + hs_c < he)
-        dband_ref[...] = jnp.zeros_like(dband_ref)
-        for pw in range(out_size):
-            packed_w = bounds_ref[base + pw]
-            ws = (packed_w >> 16) & 0xFF
-            we = (packed_w >> 24) & 0xFF
-            if sliced:
-                ws_c = jnp.clip((ws // 8) * 8, 0, feat_w - mbw)
-                ws_a = pl.multiple_of(ws_c, 8)
-            else:
-                ws_c = 0
-                ws_a = 0
-            win = feat_ref[0, pl.ds(hs_c, mbh),
-                           pl.ds(ws_a, win_w), :].astype(jnp.float32)
-            binmax = pooled_ref[0, 0, ph, pw, :].astype(jnp.float32)
-            gbin = g_ref[0, 0, ph, pw, :].astype(jnp.float32)
-            cmask = (col_idx + ws_c >= ws) & (col_idx + ws_c < we)
-            hit = rmask & cmask[None] & (win == binmax)
-            eq_f = jnp.where(hit, 1.0, 0.0)
-            count = jnp.sum(eq_f, axis=(0, 1))                # (C,)
-            scale = gbin / jnp.maximum(count, 1.0)
-            cur = dband_ref[:, pl.ds(ws_a, win_w), :]
-            dband_ref[:, pl.ds(ws_a, win_w), :] = cur + eq_f * scale
-        cur = dfeat_ref[0, pl.ds(hs_c, mbh), :, :]
-        dfeat_ref[0, pl.ds(hs_c, mbh), :, :] = cur + dband_ref[...]
+    for j in range(rois_per_program):
+        base = (b * num_rois + rg * rois_per_program + j) * out_size
+        for ph in range(out_size):
+            packed_h = bounds_ref[base + ph]
+            hs = packed_h & 0xFF
+            he = (packed_h >> 8) & 0xFF
+            hs_c = jnp.clip(hs, 0, max(feat_h - mbh, 0))
+            rmask = (band_rows + hs_c >= hs) & (band_rows + hs_c < he)
+            dband_ref[...] = jnp.zeros_like(dband_ref)
+            for pw in range(out_size):
+                packed_w = bounds_ref[base + pw]
+                ws = (packed_w >> 16) & 0xFF
+                we = (packed_w >> 24) & 0xFF
+                if sliced:
+                    ws_c = jnp.clip((ws // 8) * 8, 0, feat_w - mbw)
+                    ws_a = pl.multiple_of(ws_c, 8)
+                else:
+                    ws_c = 0
+                    ws_a = 0
+                # f32 compare: a native-bf16 compare would be cheaper but
+                # its i1 vector layout fails Mosaic relayout (sub-32-bit
+                # limitation, environment gotcha #5)
+                win = feat_ref[0, pl.ds(hs_c, mbh),
+                               pl.ds(ws_a, win_w), :].astype(jnp.float32)
+                binmax = pooled_ref[0, j, ph, pw, :].astype(jnp.float32)
+                gbin = g_ref[0, j, ph, pw, :].astype(jnp.float32)
+                cmask = (col_idx + ws_c >= ws) & (col_idx + ws_c < we)
+                hit = rmask & cmask[None] & (win == binmax)
+                eq_f = jnp.where(hit, 1.0, 0.0)
+                count = jnp.sum(eq_f, axis=(0, 1))            # (C,)
+                scale = gbin / jnp.maximum(count, 1.0)
+                cur = dband_ref[:, pl.ds(ws_a, win_w), :]
+                dband_ref[:, pl.ds(ws_a, win_w), :] = cur + eq_f * scale
+            cur = dfeat_ref[0, pl.ds(hs_c, mbh), :, :]
+            dfeat_ref[0, pl.ds(hs_c, mbh), :, :] = cur + dband_ref[...]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
@@ -361,17 +367,18 @@ def _backward_pallas(feat, rois, pooled, g, out_size, spatial_scale,
 
     cblock = c if c % 256 or c <= 256 else 256
     ncb = c // cblock
+    rpp = next(g for g in _RPP_CANDIDATES if r % g == 0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(b, ncb, r),
+        grid=(b, ncb, r // rpp),
         in_specs=[
             pl.BlockSpec((1, h, w, cblock),
                          lambda bb, cc, rr, *_: (bb, 0, 0, cc),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, out_size, out_size, cblock),
+            pl.BlockSpec((1, rpp, out_size, out_size, cblock),
                          lambda bb, cc, rr, *_: (bb, rr, 0, 0, cc),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, out_size, out_size, cblock),
+            pl.BlockSpec((1, rpp, out_size, out_size, cblock),
                          lambda bb, cc, rr, *_: (bb, rr, 0, 0, cc),
                          memory_space=pltpu.VMEM),
         ],
@@ -383,7 +390,7 @@ def _backward_pallas(feat, rois, pooled, g, out_size, spatial_scale,
     mbw = _stage_b_window(w, out_size)
     kern = functools.partial(_bwd_kernel, out_size=out_size, mbh=mbh,
                              mbw=mbw, feat_h=h, feat_w=w, feat_c=cblock,
-                             num_rois=r)
+                             num_rois=r, rois_per_program=rpp)
     dfeat = pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((b, h, w, c), jnp.float32),

@@ -35,3 +35,28 @@ def masked_topk(
     values, indices = jax.lax.top_k(masked, k)
     out_valid = values > _NEG_INF
     return values, indices.astype(jnp.int32), out_valid
+
+
+def masked_topk_payload(
+    scores: jnp.ndarray,
+    valid: jnp.ndarray,
+    k: int,
+    *payloads: jnp.ndarray,
+) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, ...], jnp.ndarray]:
+    """``masked_topk`` that carries payload rows through the selection.
+
+    One stable multi-operand ``lax.sort`` on -score replaces
+    ``lax.top_k`` + per-payload gathers: a stable ascending sort on the
+    negated key is tie-identical to ``lax.top_k`` (equal keys keep input
+    order — ties to the lower index), and on TPU the carried operands are
+    cheaper than the row-gathers they replace (same finding as the
+    payload-carrying NMS sort in trcnn.ops.nms).
+
+    Returns (values, sorted_payloads_tuple, out_valid), each (..., k).
+    """
+    masked = jnp.where(valid, scores.astype(jnp.float32), _NEG_INF)
+    out = jax.lax.sort((-masked,) + tuple(payloads), dimension=-1,
+                       is_stable=True, num_keys=1)
+    values = -out[0][..., :k]
+    out_valid = values > _NEG_INF
+    return values, tuple(o[..., :k] for o in out[1:]), out_valid
