@@ -89,3 +89,29 @@ def test_clip_boxes():
     out = np.asarray(clip_boxes(b, 480, 640))
     np.testing.assert_allclose(out[0], [0.0, 0.0, 639.0, 479.0])
     np.testing.assert_allclose(out[1], [5.0, 5.0, 10.0, 10.0])
+
+
+def test_overlap_gt_matches_divided_predicate(rng):
+    """box_overlap_gt (division-free NMS predicate) agrees with
+    box_iou > t away from the ~1-ulp threshold boundary."""
+    from trcnn.ops.boxes import box_overlap_gt
+
+    boxes = random_boxes(rng, 200)
+    query = random_boxes(rng, 150)
+    for t in (0.3, 0.5, 0.7):
+        iou = np.asarray(box_iou(jnp.asarray(boxes), jnp.asarray(query)))
+        pred = np.asarray(box_overlap_gt(jnp.asarray(boxes),
+                                         jnp.asarray(query), t))
+        clear = np.abs(iou - t) > 1e-5  # away from the rounding boundary
+        np.testing.assert_array_equal(pred[clear], (iou > t)[clear])
+
+
+def test_overlap_gt_degenerate_no_overlap():
+    """Disjoint and zero-area-intersection pairs are never 'over'."""
+    from trcnn.ops.boxes import box_overlap_gt
+
+    a = jnp.asarray([[0.0, 0.0, 10.0, 10.0]])
+    b = jnp.asarray([[100.0, 100.0, 110.0, 110.0],  # disjoint
+                     [11.0, 0.0, 20.0, 10.0]])      # touching (+1 conv: iw=0)
+    pred = np.asarray(box_overlap_gt(a, b, 0.0))
+    assert not pred.any()

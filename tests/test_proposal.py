@@ -93,3 +93,30 @@ def test_proposal_grid_mask(rng):
     scores = np.asarray(out.scores)[valid]
     assert (scores <= 0.51).all()
     assert valid.sum() >= 1
+
+
+def test_masked_topk_payload_matches_gather(rng):
+    """masked_topk_payload == masked_topk + row gathers, including at
+    score ties (stable sort on -score is tie-identical to lax.top_k)."""
+    import jax
+    import jax.numpy as jnp
+
+    from trcnn.ops.topk import masked_topk, masked_topk_payload
+
+    n, k = 500, 64
+    scores = rng.uniform(size=n).astype(np.float32)
+    scores[::7] = 0.5  # ties
+    valid = rng.uniform(size=n) > 0.2
+    payload = rng.randn(n, 4).astype(np.float32)
+
+    vals, idx, ok = masked_topk(jnp.asarray(scores), jnp.asarray(valid), k)
+    pvals, cols, pok = masked_topk_payload(
+        jnp.asarray(scores), jnp.asarray(valid), k,
+        *[jnp.asarray(payload[:, i]) for i in range(4)])
+    np.testing.assert_array_equal(np.asarray(vals), np.asarray(pvals))
+    np.testing.assert_array_equal(np.asarray(ok), np.asarray(pok))
+    gathered = np.asarray(jax.vmap(lambda c: jnp.take(c, idx))(
+        jnp.asarray(payload.T)))
+    got = np.stack([np.asarray(c) for c in cols])
+    m = np.asarray(ok)
+    np.testing.assert_array_equal(got[:, m], gathered[:, m])
