@@ -20,10 +20,25 @@ from __future__ import annotations
 import argparse
 import functools
 import json
+import subprocess
 import sys
 import time
 
 import numpy as np
+
+
+def repo_commit() -> str:
+    """HEAD hash, so every emitted measurement is tied to the code that
+    produced it (the round-2 ledger drifted across documents because
+    numbers carried no provenance)."""
+    try:
+        return subprocess.run(
+            ["git", "-C", __file__.rsplit("/", 1)[0], "rev-parse",
+             "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or "unknown"
+    except Exception:
+        return "unknown"
 
 
 def main() -> int:
@@ -124,7 +139,14 @@ def main() -> int:
                 xi = x + (c * 1e-30).astype(x.dtype)
             raw = model.apply(p, xi, info, method="detect")
             det = postprocess(raw, info, cfg)
-            return jnp.float32(det.scores[0, 0]), None
+            # fold EVERY output into the carry so no part of the decode/
+            # NMS/gather epilogue is dead in the scan body (boxes/classes/
+            # valid feed the carry at 1e-30 scale — numerically inert,
+            # structurally alive)
+            extra = (jnp.sum(det.boxes[0, 0]) + det.classes[0, 0]
+                     + det.valid[0, 0])
+            return (jnp.float32(det.scores[0, 0])
+                    + jnp.float32(extra) * 1e-30), None
 
         tot, _ = lax.scan(body, jnp.float32(0), None, length=steps)
         return tot
@@ -168,6 +190,8 @@ def main() -> int:
         "value": round(imgs_per_sec, 2),
         "unit": "img/s",
         "vs_baseline": round(imgs_per_sec / 50.0, 3),
+        "commit": repo_commit(),
+        "timestamp": time.strftime("%Y-%m-%dT%H:%M:%S%z"),
     }))
     return 0
 

@@ -8,6 +8,9 @@ import numpy as np
 
 from trcnn.config import AnchorConfig
 from trcnn.ops.anchors import generate_base_anchors, shifted_anchors
+import pytest
+
+pytestmark = pytest.mark.fast
 
 GOLDEN_BASE_ANCHORS = np.array(
     [

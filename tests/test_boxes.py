@@ -11,6 +11,9 @@ from trcnn.ops.boxes import (
     box_iou,
     clip_boxes,
 )
+import pytest
+
+pytestmark = pytest.mark.fast
 
 
 def iou_oracle(boxes, query):

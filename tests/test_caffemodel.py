@@ -15,6 +15,8 @@ import pytest
 from trcnn.convert.caffemodel import (caffemodel_to_npz_dict,
                                       import_caffemodel, parse_caffemodel)
 
+pytestmark = pytest.mark.fast
+
 
 def _varint(v: int) -> bytes:
     out = b""

@@ -13,6 +13,8 @@ from trcnn.config import FasterRCNNConfig  # noqa: E402
 from trcnn.convert import (export_chainer_npz, import_chainer_npz,  # noqa: E402
                            permute_fc6_kernel)
 
+pytestmark = pytest.mark.fast
+
 
 def _fake_chainer_tree(rng, num_classes=21, hidden=32):
     """Minimal chainer-style npz dict with correct shapes/layouts."""

@@ -11,6 +11,8 @@ from trcnn.data import (DetectionLoader, SyntheticDetection, parse_voc_xml,
                         preprocess_image)
 from trcnn.data.preprocess import compute_scale, scale_gt_boxes
 
+pytestmark = pytest.mark.fast
+
 
 def test_compute_scale_600_1000_rule():
     cfg = ImageConfig()

@@ -4,6 +4,9 @@ import numpy as np
 
 from trcnn.eval.voc_ap import (DetectionRecord, build_records, voc_ap,
                                voc_eval_class, voc_mean_ap)
+import pytest
+
+pytestmark = pytest.mark.fast
 
 
 def test_voc_ap_perfect_curve():

@@ -7,6 +7,8 @@ import pytest
 from tests.conftest import random_boxes
 from trcnn.ops import native
 
+pytestmark = pytest.mark.fast
+
 
 @pytest.fixture(scope="module", autouse=True)
 def built():

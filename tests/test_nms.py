@@ -12,6 +12,8 @@ import pytest
 from tests.conftest import random_boxes
 from trcnn.ops.nms import multiclass_nms, nms_oracle_numpy, nms_padded
 
+pytestmark = pytest.mark.fast
+
 
 def run_nms(boxes, scores, valid, thresh, max_out, tile=64):
     idx, ok = nms_padded(

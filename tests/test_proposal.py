@@ -7,6 +7,9 @@ from trcnn.config import AnchorConfig, ProposalConfig
 from trcnn.ops.anchors import generate_base_anchors
 from trcnn.ops.nms import nms_oracle_numpy
 from trcnn.ops.proposal import proposal_layer
+import pytest
+
+pytestmark = pytest.mark.fast
 
 
 def numpy_proposal_oracle(fg, deltas, im_h, im_w, im_scale, cfg, acfg):

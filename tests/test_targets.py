@@ -13,6 +13,9 @@ from trcnn.config import AnchorTargetConfig, ProposalTargetConfig
 from trcnn.ops.anchors import shifted_anchors
 from trcnn.ops.boxes import bbox_transform
 from trcnn.targets import anchor_targets, proposal_targets
+import pytest
+
+pytestmark = pytest.mark.fast
 
 
 def test_anchor_targets_basic_rules():
