@@ -62,6 +62,11 @@ def main() -> int:
                          "cluster).  Default: random init")
     ap.add_argument("--p50_batch1", action="store_true",
                     help="also measure batch-1 p50 latency (stderr)")
+    ap.add_argument("--nms_impl", default=None,
+                    choices=["auto", "xla", "pallas"],
+                    help="multiclass-epilogue NMS kernel override (A/B "
+                         "hook; default = config, keep-sets identical "
+                         "either way)")
     ap.add_argument("--input", default="uint8", choices=["uint8", "float"],
                     help="canvas format.  uint8 is the production loader "
                          "contract (4x fewer host->device bytes; mean-"
@@ -80,6 +85,11 @@ def main() -> int:
     cfg = voc_config() if args.config == "voc" else coco_config()
     if args.backbone != "vgg16":
         cfg = cfg.replace(backbone=args.backbone)
+    if args.nms_impl is not None:
+        import dataclasses
+
+        cfg = cfg.replace(test=dataclasses.replace(cfg.test,
+                                                   nms_impl=args.nms_impl))
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     model = make_model(cfg, dtype=dtype)
 

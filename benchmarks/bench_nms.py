@@ -71,12 +71,14 @@ def main() -> int:
 
     INNER = 10  # amortize the ~15-25 ms tunnel dispatch over a scan
 
-    def scanned(nms_fn, b, s, v, k):
+    def scanned(nms_fn, b, s, v, k, thresh=None):
         """One jitted program running INNER sequential NMS calls (a data
         dependency through the scores forces real sequencing)."""
+        if thresh is None:
+            thresh = args.thresh
 
         def body(carry, _):
-            ki, kv = nms_fn(b, s + carry, v, args.thresh, max_out=k)
+            ki, kv = nms_fn(b, s + carry, v, thresh, max_out=k)
             # sub-epsilon bump: keeps every iteration's keep-set identical
             # while defeating CSE/hoisting of the repeated NMS call
             bump = jnp.sum(ki).astype(jnp.float32) * 1e-30
@@ -123,6 +125,63 @@ def main() -> int:
             row["survivors"] = n_kept
             results[f"{dist_name}/{name}"] = row
             print(f"{dist_name}/{name}: {row}", flush=True)
+
+    # ---- grouped multiclass epilogue shapes (VERDICT r2 item 3) ---------
+    # test-time per-class NMS as ONE grouped call over the flattened
+    # (class, roi) set: VOC 20 fg x 300 RoIs and COCO 80 fg x 1000 RoIs,
+    # thresh 0.3, softmax-like score mass (most candidates below the 0.05
+    # eval threshold — the realistic sparsity regime).
+    import functools
+
+    for name, fgc, r, k in (("voc_20x300", 20, 300, 100),
+                            ("coco_80x1000", 80, 1000, 100)):
+        base_boxes, _ = clustered_boxes(rng, r)
+        # per-class decoded boxes = RoI boxes + small class-specific jitter
+        cls_boxes = (base_boxes[None, :, :]
+                     + rng.normal(0, 3, (fgc, r, 4))).astype(np.float32)
+        logits = rng.normal(0, 2.0, (r, fgc + 1)).astype(np.float32)
+        probs = np.exp(logits) / np.exp(logits).sum(1, keepdims=True)
+        cls_scores = probs[:, 1:].T.copy()                 # (FG, R)
+        flat_b = jnp.asarray(cls_boxes.reshape(-1, 4))
+        flat_s = jnp.asarray(cls_scores.reshape(-1))
+        flat_v = jnp.asarray(cls_scores.reshape(-1) > 0.05)
+        g = jnp.asarray(np.repeat(np.arange(fgc, dtype=np.int32), r))
+
+        xla_fn = functools.partial(nms_padded, groups=g, tile=1024)
+        pal_fn = functools.partial(nms_padded_pallas, groups=g)
+        xla_run = jax.jit(lambda b, s, v, k=k, f=xla_fn: scanned(
+            f, b, s, v, k, thresh=0.3))
+        pal_run = jax.jit(lambda b, s, v, k=k, f=pal_fn: scanned(
+            f, b, s, v, k, thresh=0.3))
+        t_xla, out_xla = time_fn(lambda: xla_run(flat_b, flat_s, flat_v),
+                                 iters=args.iters)
+        row = {"xla_ms": round(t_xla * 1e3 / INNER, 3)}
+        try:
+            t_pal, out_pal = time_fn(lambda: pal_run(flat_b, flat_s, flat_v),
+                                     iters=args.iters)
+            row["pallas_ms"] = round(t_pal * 1e3 / INNER, 3)
+            row["keep_sets_equal"] = bool(np.array_equal(
+                np.asarray(out_xla[0])[np.asarray(out_xla[1])],
+                np.asarray(out_pal[0])[np.asarray(out_pal[1])]))
+        except Exception as e:
+            row["pallas_error"] = f"{type(e).__name__}: {e}"[:200]
+        if args.check_parity:
+            vm = np.asarray(flat_v)
+            vidx = np.flatnonzero(vm)
+            fb = np.asarray(flat_b)
+            fs = np.asarray(flat_s)
+            cand = []
+            for c in range(fgc):
+                m = vidx[(vidx >= c * r) & (vidx < (c + 1) * r)]
+                for kk in nms_oracle_numpy(fb[m], fs[m], 0.3):
+                    cand.append((fs[m[kk]], int(m[kk])))
+            cand.sort(key=lambda t: (-t[0], t[1]))
+            ref = [i for _, i in cand[:k]]
+            got = list(np.asarray(out_xla[0])[np.asarray(out_xla[1])])
+            row["oracle_equal"] = got == ref
+        row["survivors"] = int(np.asarray(out_xla[1]).sum())
+        results[f"multiclass/{name}"] = row
+        print(f"multiclass/{name}: {row}", flush=True)
 
     print(json.dumps(results))
     return 0

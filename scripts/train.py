@@ -35,6 +35,9 @@ def main() -> int:
     ap.add_argument("--iters", type=int, default=None,
                     help="override total iterations (default 70000)")
     ap.add_argument("--lr", type=float, default=None)
+    ap.add_argument("--lr_decay_step", type=int, default=None,
+                    help="step at which lr multiplies by lr_decay_factor "
+                         "(default 50000, the reference schedule)")
     ap.add_argument("--backbone", default="vgg16",
                     choices=["vgg16", "resnet101"])
     ap.add_argument("--dtype", default="float32",
@@ -90,8 +93,14 @@ def main() -> int:
     cfg = voc_config()
     if args.backbone != "vgg16":
         cfg = cfg.replace(backbone=args.backbone)
-    if args.lr is not None:
-        cfg = cfg.replace(optim=cfg.optim.__class__(base_lr=args.lr))
+    if args.lr is not None or args.lr_decay_step is not None:
+        import dataclasses as _dc
+        optim_overrides = {}
+        if args.lr is not None:
+            optim_overrides["base_lr"] = args.lr
+        if args.lr_decay_step is not None:
+            optim_overrides["lr_decay_step"] = args.lr_decay_step
+        cfg = cfg.replace(optim=_dc.replace(cfg.optim, **optim_overrides))
 
     if args.dataset == "voc":
         if not args.dataset_root:

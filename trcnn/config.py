@@ -162,6 +162,14 @@ class TestTimeConfig:
     score_thresh_demo: float = 0.7
     max_dets_per_class: int = 100
     max_dets_per_image: int = 100
+    # multiclass-epilogue NMS kernel: "xla" (default), "pallas" (grouped
+    # VMEM kernel), or "auto" (pallas on TPU).  Keep-sets are identical
+    # (grouped-kernel parity proven vs per-class oracle); measured b32
+    # full-model A/B is a tie (281.6 xla vs 280.1 pallas img/s) while the
+    # vmapped Pallas epilogue costs 8x the compile time (319s vs 41s), so
+    # xla stays the default.  The kernel remains the PROPOSAL-path NMS
+    # where it wins 1.6x (ProposalConfig.nms_impl).
+    nms_impl: str = "xla"
 
 
 @dataclasses.dataclass(frozen=True)

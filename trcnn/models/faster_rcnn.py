@@ -358,6 +358,7 @@ def postprocess(
             max_per_class=t.max_dets_per_class,
             max_total=t.max_dets_per_image,
             tile=nms_tile,
+            nms_impl=t.nms_impl,
         )
         return det_boxes / info[2], det_scores, det_classes, det_valid
 

@@ -243,7 +243,8 @@ def batched_nms(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("max_per_class", "max_total", "tile", "class_offset"),
+    static_argnames=("max_per_class", "max_total", "tile", "class_offset",
+                     "nms_impl"),
 )
 def multiclass_nms(
     boxes: jnp.ndarray,
@@ -255,6 +256,7 @@ def multiclass_nms(
     max_total: int,
     tile: Optional[int] = None,
     class_offset: int = 1,
+    nms_impl: str = "xla",
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Test-time per-class NMS + merge (the reference's forward.py epilogue,
     SURVEY.md §4.1), fully on device.
@@ -267,6 +269,9 @@ def multiclass_nms(
       score_thresh: minimum score to consider a detection.
       max_per_class / max_total: static capacities.
       class_offset: first foreground class column (1 skips background).
+      nms_impl: "xla" (the spec), "pallas" (grouped VMEM kernel), or
+        "auto" (Pallas on TPU).  Applies to the single-call fast path;
+        all choices are exactly greedy with identical keep-sets.
 
     Returns (det_boxes (D,4), det_scores (D,), det_classes (D,) int32,
     det_valid (D,)) with D = max_total, score-sorted descending.
@@ -298,9 +303,19 @@ def multiclass_nms(
         flat_valid_in = cls_valid.reshape(fg * r)
         flat_groups = jnp.repeat(
             jnp.arange(fg, dtype=jnp.int32), r, total_repeat_length=fg * r)
-        keep_idx, keep_valid = nms_padded(
-            flat_boxes_in, flat_scores_in, flat_valid_in,
-            iou_thresh, max_out=max_total, tile=tile, groups=flat_groups)
+        impl = nms_impl
+        if impl == "auto":
+            impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        if impl == "pallas":
+            from trcnn.ops.nms_pallas import nms_padded_pallas
+
+            keep_idx, keep_valid = nms_padded_pallas(
+                flat_boxes_in, flat_scores_in, flat_valid_in,
+                iou_thresh, max_out=max_total, groups=flat_groups)
+        else:
+            keep_idx, keep_valid = nms_padded(
+                flat_boxes_in, flat_scores_in, flat_valid_in,
+                iou_thresh, max_out=max_total, tile=tile, groups=flat_groups)
         det_scores = jnp.take(flat_scores_in, keep_idx)
         det_boxes = jnp.take(flat_boxes_in, keep_idx, axis=0)
         det_classes = (keep_idx // r + class_offset).astype(jnp.int32)

@@ -45,8 +45,8 @@ _NEG_INF = np.float32(-np.inf)
 
 
 def _suppression_kernel(x1_ref, y1_ref, x2_ref, y2_ref, valid_ref,
-                        thresh_ref, keep_ref, *, tile: int, max_out: int,
-                        col_block: int):
+                        *rest_refs, tile: int, max_out: int,
+                        col_block: int, has_groups: bool):
     """Computes keep mask (1, N) for score-sorted boxes.
 
     Refs hold (1, N) rows in VMEM (coordinates pre-masked so padding rows
@@ -61,7 +61,17 @@ def _suppression_kernel(x1_ref, y1_ref, x2_ref, y2_ref, valid_ref,
     prefix half of that matrix was masked to a no-op anyway.  ~45% less
     IoU math at the 12k-box train shape, and the (T, col_block)
     intermediate is VMEM-bounded independent of N.
+
+    ``has_groups``: an extra (1, N) int32 group-id row rides in VMEM and
+    suppression is masked to same-group pairs — the single-call multiclass
+    fast path (grouped NMS over the flattened (class, roi) set is
+    bit-identical to independent per-class NMS, see trcnn.ops.nms).
     """
+    if has_groups:
+        group_ref, thresh_ref, keep_ref = rest_refs
+    else:
+        group_ref = None
+        thresh_ref, keep_ref = rest_refs
     n = x1_ref.shape[1]
     num_tiles = n // tile
     thresh = thresh_ref[0]
@@ -100,6 +110,9 @@ def _suppression_kernel(x1_ref, y1_ref, x2_ref, y2_ref, valid_ref,
         # (the reference's cpu_nms/gpu_nms pair diverges the same way).
         over_tt = (uinter * (1.0 + thresh)
                    > t_tarea + t_tarea.reshape(1, tile))
+        if group_ref is not None:
+            tg = group_ref[0, pl.ds(start, tile)].reshape(tile, 1)
+            over_tt &= tg == tg.reshape(1, tile)
         # upper[r, c] = 1 iff row r suppresses col c (r strictly before c)
         upper = ((col_ids > row_ids) & over_tt).astype(jnp.int32)
 
@@ -152,8 +165,12 @@ def _suppression_kernel(x1_ref, y1_ref, x2_ref, y2_ref, valid_ref,
             h = jnp.maximum(yy2 - yy1 + 1.0, 0.0)
             inter = w * h
             # division-free (see over_tt above)
-            over_b = (inter * (1.0 + thresh) > t_tarea + thresh * barea
-                      ).astype(jnp.int32)
+            over_bool = inter * (1.0 + thresh) > t_tarea + thresh * barea
+            if group_ref is not None:
+                bgrp = group_ref[0, pl.ds(cstart, col_block)].reshape(
+                    1, col_block)
+                over_bool &= tg == bgrp
+            over_b = over_bool.astype(jnp.int32)
             killed = jnp.max(over_b * keep_col, axis=0,
                              keepdims=True)               # (1, CB)
             bpos = (lax.broadcasted_iota(jnp.int32, (1, col_block), 1)
@@ -205,9 +222,11 @@ def nms_padded_pallas(
     tile: Optional[int] = None,
     interpret: bool = False,
     presorted: bool = False,
+    groups: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Drop-in Pallas variant of ``trcnn.ops.nms.nms_padded`` (including
-    the ``presorted`` fast path — see that function's docstring)."""
+    the ``presorted`` fast path and same-group-only suppression via
+    ``groups`` — see that function's docstring)."""
     n_in = boxes.shape[0]
     if tile is None:
         # cross-suppression is column-blocked, so the (T, col_block)
@@ -220,11 +239,21 @@ def nms_padded_pallas(
         order = jnp.arange(n_in, dtype=jnp.int32)
         sboxes = boxes.astype(jnp.float32)
         svalid = valid
+        sgroups = groups
     else:
+        # boxes/groups/index ride the sort as payload operands (same
+        # rationale as trcnn.ops.nms: stable sort on -score is
+        # tie-identical to top_k and beats (N, 4) row-gathers on TPU)
         masked = jnp.where(valid, scores.astype(jnp.float32), _NEG_INF)
-        sorted_scores, order = lax.top_k(masked, n_in)
-        sboxes = jnp.take(boxes, order, axis=0).astype(jnp.float32)
-        svalid = sorted_scores > _NEG_INF
+        ops = (-masked, boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3],
+               jnp.arange(n_in, dtype=jnp.int32))
+        if groups is not None:
+            ops = ops + (groups,)
+        out = lax.sort(ops, dimension=-1, is_stable=True, num_keys=1)
+        sboxes = jnp.stack(out[1:5], axis=-1)
+        order = out[5]
+        svalid = -out[0] > _NEG_INF
+        sgroups = out[6] if groups is not None else None
 
     sboxes = _pad_to_multiple(sboxes, tile, 0.0)
     svalid = _pad_to_multiple(svalid, tile, False)
@@ -237,16 +266,21 @@ def nms_padded_pallas(
     x2 = (sboxes[:, 2] + far).reshape(1, n)
     y2 = (sboxes[:, 3] + far).reshape(1, n)
 
+    operands = [x1, y1, x2, y2, svalid.reshape(1, n).astype(jnp.int32)]
+    if sgroups is not None:
+        operands.append(
+            _pad_to_multiple(sgroups.astype(jnp.int32), tile, -1
+                             ).reshape(1, n))
     keep_i32 = pl.pallas_call(
         functools.partial(_suppression_kernel, tile=tile, max_out=max_out,
-                          col_block=min(1024, n)),
+                          col_block=min(1024, n),
+                          has_groups=sgroups is not None),
         out_shape=jax.ShapeDtypeStruct((1, n), jnp.int32),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * len(operands)
         + [pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(x1, y1, x2, y2, svalid.reshape(1, n).astype(jnp.int32),
-      jnp.asarray([iou_thresh], jnp.float32))[0]
+    )(*operands, jnp.asarray([iou_thresh], jnp.float32))[0]
     keep = keep_i32 != 0
 
     pos = jnp.arange(n, dtype=jnp.int32)
