@@ -28,6 +28,8 @@ def main() -> int:
     ap.add_argument("--batch_size", type=int, default=8)
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--backbone", default="vgg16",
+                    choices=["vgg16", "resnet101"])
     ap.add_argument("--trace", action="store_true",
                     help="also write a profiler trace to /tmp/trcnn_train_trace")
     args = ap.parse_args()
@@ -41,6 +43,8 @@ def main() -> int:
     from trcnn.train.step import TrainState, make_train_step
 
     cfg = voc_config()
+    if args.backbone != "vgg16":
+        cfg = cfg.replace(backbone=args.backbone)
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     model = make_model(cfg, dtype=dtype)
     b, h, w = args.batch_size, cfg.image.pad_h, cfg.image.pad_w
@@ -96,6 +100,7 @@ def main() -> int:
         "value": round(b / dt, 2),
         "step_ms": round(dt * 1e3, 2),
         "batch_size": b,
+        "backbone": args.backbone,
         "loss": round(float(metrics["loss"]), 4),
     }))
     return 0

@@ -1,0 +1,191 @@
+#!/usr/bin/env python
+"""One-script perf-ledger refresh (VERDICT r2: "the perf ledger disagrees
+with itself" — README/BASELINE/bench JSON each carried numbers from a
+different commit).
+
+Runs the full measurement matrix on the CURRENT checkout against the real
+chip and rewrites every measured table from ONE set of numbers tied to ONE
+commit hash:
+
+  * appends a ``{commit, timestamp, results}`` record to
+    ``benchmarks/ledger.json`` (the machine-readable history), and
+  * regenerates the ``<!-- ledger:begin -->…<!-- ledger:end -->`` spans in
+    ``BASELINE.md`` and ``README.md`` from the last record.
+
+    python benchmarks/refresh_ledger.py            # measure + rewrite
+    python benchmarks/refresh_ledger.py --rewrite_only   # docs from ledger
+
+Matrix (all single-chip, bf16, synthetic inputs — no datasets in this
+environment): detect VGG b32/b8/b1, detect R101 b8, detect COCO-config b4,
+train-step VGG b8 and R101 b8.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+LEDGER = os.path.join(ROOT, "benchmarks", "ledger.json")
+PY = sys.executable
+
+# key -> (script, args)
+MATRIX = {
+    "detect_vgg_b32": ("bench.py", ["--batch_size", "32"]),
+    "detect_vgg_b8": ("bench.py", ["--batch_size", "8"]),
+    "detect_vgg_b1": ("bench.py", ["--batch_size", "1", "--scan_steps", "1",
+                                   "--iters", "40"]),
+    "detect_r101_b8": ("bench.py", ["--batch_size", "8",
+                                    "--backbone", "resnet101"]),
+    "detect_coco_b4": ("bench.py", ["--batch_size", "4", "--config", "coco"]),
+    "train_vgg_b8": ("benchmarks/bench_train.py", ["--batch_size", "8"]),
+    "train_r101_b8": ("benchmarks/bench_train.py",
+                      ["--batch_size", "8", "--backbone", "resnet101"]),
+}
+
+
+def run_one(key: str) -> dict:
+    script, extra = MATRIX[key]
+    cmd = [PY, os.path.join(ROOT, script)] + extra
+    print(f"[{key}] {' '.join(cmd)}", flush=True)
+    t0 = time.time()
+    p = subprocess.run(cmd, capture_output=True, text=True, cwd=ROOT,
+                       timeout=1800)
+    if p.returncode != 0:
+        print(p.stdout[-2000:], p.stderr[-2000:], sep="\n", file=sys.stderr)
+        raise RuntimeError(f"{key} failed rc={p.returncode}")
+    line = [l for l in p.stdout.strip().splitlines() if l.startswith("{")][-1]
+    out = json.loads(line)
+    # p50 per-image latency rides on stderr for bench.py
+    for sline in p.stderr.splitlines():
+        if "p50_per_img=" in sline:
+            out["p50_per_img_ms"] = float(
+                sline.split("p50_per_img=")[1].split("ms")[0])
+        if "p50_step=" in sline:
+            out["p50_step_ms"] = float(
+                sline.split("p50_step=")[1].split("ms")[0])
+    out["wall_s"] = round(time.time() - t0, 1)
+    print(f"[{key}] -> {out}", flush=True)
+    return out
+
+
+def head_commit() -> str:
+    return subprocess.run(["git", "-C", ROOT, "rev-parse", "--short", "HEAD"],
+                          capture_output=True, text=True).stdout.strip()
+
+
+def load_ledger() -> list:
+    if os.path.exists(LEDGER):
+        with open(LEDGER) as f:
+            return json.load(f)
+    return []
+
+
+def fmt(rec: dict, key: str, field: str = "value", suffix: str = "") -> str:
+    r = rec["results"].get(key)
+    if not r or field not in r:
+        return "—"
+    v = r[field]
+    return f"{v:g}{suffix}" if isinstance(v, (int, float)) else str(v)
+
+
+def render_baseline_table(history: list) -> str:
+    """Markdown table: one column per recorded refresh (last 3)."""
+    recs = history[-3:]
+    heads = " | ".join(f"{r['label']} ({r['commit']})" for r in recs)
+    rows = [
+        ("Inference, VGG-16 600×1000 b32, bf16 (img/s/chip)",
+         "detect_vgg_b32", "value"),
+        ("… batch 8 (img/s)", "detect_vgg_b8", "value"),
+        ("… batch 1 wall incl. tunnel dispatch (ms)",
+         "detect_vgg_b1", "p50_step_ms"),
+        ("Inference, ResNet-101-C4 b8 (img/s)", "detect_r101_b8", "value"),
+        ("Inference, COCO config 800×1344, 81 cls, b4 (img/s)",
+         "detect_coco_b4", "value"),
+        ("Train step, VGG-16 b8 device (img/s)", "train_vgg_b8", "value"),
+        ("Train step, ResNet-101-C4 b8 device (img/s)",
+         "train_r101_b8", "value"),
+    ]
+    lines = [f"| Metric | {heads} |",
+             "|---|" + "---|" * len(recs)]
+    for title, key, field in rows:
+        cells = " | ".join(fmt(r, key, field) for r in recs)
+        lines.append(f"| {title} | {cells} |")
+    return "\n".join(lines)
+
+
+def render_readme_row(rec: dict) -> str:
+    r = rec["results"]
+    return (
+        f"| Benchmark (`bench.py`, single chip, 600×1000, commit "
+        f"`{rec['commit']}`) | **{fmt(rec, 'detect_vgg_b32')} img/s** @ "
+        f"batch 32 bf16 (target ≥50; reference ≈6.7 img/s on K40); "
+        f"R101-C4 {fmt(rec, 'detect_r101_b8')} img/s; COCO 800×1344 config "
+        f"{fmt(rec, 'detect_coco_b4')} img/s @ b4; train step "
+        f"{fmt(rec, 'train_vgg_b8')} img/s @ b8 device "
+        f"(R101 {fmt(rec, 'train_r101_b8')} img/s) |"
+        if r else "")
+
+
+def splice(path: str, begin: str, end: str, body: str) -> None:
+    with open(path) as f:
+        text = f.read()
+    b, e = text.index(begin) + len(begin), text.index(end)
+    with open(path, "w") as f:
+        f.write(text[:b] + "\n" + body + "\n" + text[e:])
+    print(f"rewrote {os.path.basename(path)}")
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", nargs="*", default=None,
+                    help="subset of matrix keys to (re)measure")
+    ap.add_argument("--label", default=None,
+                    help="column label (default rN by history length)")
+    ap.add_argument("--rewrite_only", action="store_true",
+                    help="skip measurement; regenerate docs from ledger")
+    args = ap.parse_args()
+
+    history = load_ledger()
+    if not args.rewrite_only:
+        keys = args.only or list(MATRIX)
+        results = {}
+        # reuse the previous record for keys not re-measured
+        if args.only and history:
+            results.update(history[-1]["results"])
+        for k in keys:
+            results[k] = run_one(k)
+        rec = {
+            "label": args.label or f"r{len(history) + 1}",
+            "commit": head_commit(),
+            "timestamp": time.strftime("%Y-%m-%dT%H:%M:%S%z"),
+            "results": results,
+        }
+        # re-measuring at the same commit replaces the record
+        if history and history[-1]["commit"] == rec["commit"]:
+            rec["label"] = history[-1]["label"]
+            history[-1] = rec
+        else:
+            history.append(rec)
+        with open(LEDGER, "w") as f:
+            json.dump(history, f, indent=1)
+        print(f"ledger: {LEDGER} ({len(history)} records)")
+
+    if not history:
+        print("empty ledger; nothing to rewrite", file=sys.stderr)
+        return 1
+    splice(os.path.join(ROOT, "BASELINE.md"),
+           "<!-- ledger:begin -->", "<!-- ledger:end -->",
+           render_baseline_table(history))
+    splice(os.path.join(ROOT, "README.md"),
+           "<!-- ledger:begin -->", "<!-- ledger:end -->",
+           render_readme_row(history[-1]))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -58,15 +58,17 @@ trainer = Trainer(model, params, cfg, TrainConfig(
     checkpoint_dir=os.path.join(out_dir, "ckpt"), seed=0, use_mesh=True))
 state = trainer.fit(iter(loader))
 
-# multi-host eval path: identical batches on every process, device_put
-# onto the global mesh, allgathered outputs — must produce the same mAP
-# everywhere and must not crash on global-params + host-batch mixing
+# multi-host eval path: each process decodes only its 1/n_hosts loader
+# shard, contributes it to the collective detect via
+# host_local_array_to_global_array, and the per-process detection lists
+# are allgathered host-side — identical mAP everywhere with sharded work
 from trcnn.eval import Evaluator
 
 ev = Evaluator(model, cfg, ds, batch_size=GLOBAL_BATCH, limit=8,
                mesh=trainer.mesh)
 eval_out = ev(state.params)
 eval_map = float(eval_out["eval_mAP"])
+eval_local = int(ev.last_local_images)  # decode work done by THIS process
 
 # the replicated loss must be identical on every process (same global
 # computation); grab it from a fresh metrics-producing step equivalent:
@@ -78,4 +80,6 @@ fingerprint = float(jax.jit(
 
 print(json.dumps({"pid": pid, "step": int(state.step),
                   "fingerprint": round(fingerprint, 6),
-                  "eval_mAP": round(eval_map, 6)}), flush=True)
+                  "eval_mAP": round(eval_map, 6),
+                  "eval_local_images": eval_local,
+                  "eval_images": int(eval_out["eval_images"])}), flush=True)

@@ -60,8 +60,16 @@ def test_two_process_training(tmp_path):
     # replicated params must be bit-identical across processes
     assert results[0]["fingerprint"] == results[1]["fingerprint"]
     assert results[0]["fingerprint"] > 0
-    # the multi-host eval path (global-mesh device_put + allgather) must
-    # yield the identical metric on every process
+    # the multi-host eval path (sharded loaders + host-side detection
+    # allgather) must yield the identical metric on every process...
     assert results[0]["eval_mAP"] == results[1]["eval_mAP"]
+    # ...while covering the full set with each process decoding only its
+    # own shard (work scales 1/n_hosts; shards partition the 8 images)
+    assert all(r["eval_images"] == 8 for r in results)
+    # (sum can exceed 8: partial global buckets pad by repeating head
+    # examples, which may duplicate an image into the other shard)
+    assert all(0 < r["eval_local_images"] < 8 for r in results)
+    assert (results[0]["eval_local_images"]
+            + results[1]["eval_local_images"]) >= 8
     # the orbax checkpoint was written by the distributed save path
     assert (tmp_path / "ckpt").exists()
