@@ -119,16 +119,19 @@ def render_baseline_table(history: list) -> str:
 
 
 def render_readme_row(rec: dict) -> str:
-    r = rec["results"]
-    return (
-        f"| Benchmark (`bench.py`, single chip, 600×1000, commit "
-        f"`{rec['commit']}`) | **{fmt(rec, 'detect_vgg_b32')} img/s** @ "
-        f"batch 32 bf16 (target ≥50; reference ≈6.7 img/s on K40); "
-        f"R101-C4 {fmt(rec, 'detect_r101_b8')} img/s; COCO 800×1344 config "
-        f"{fmt(rec, 'detect_coco_b4')} img/s @ b4; train step "
-        f"{fmt(rec, 'train_vgg_b8')} img/s @ b8 device "
-        f"(R101 {fmt(rec, 'train_r101_b8')} img/s) |"
-        if r else "")
+    if not rec["results"]:
+        return ""
+    return "\n".join([
+        f"| Benchmark (single chip, 600×1000) | commit `{rec['commit']}` |",
+        "|---|---|",
+        f"| `bench.py` headline, VGG-16 b32 bf16 | **{fmt(rec, 'detect_vgg_b32')}"
+        " img/s/chip** (target ≥50; reference ≈6.7 img/s on K40) |",
+        f"| ResNet-101-C4 b8 | {fmt(rec, 'detect_r101_b8')} img/s |",
+        f"| COCO 800×1344 config (81 cls) b4 | {fmt(rec, 'detect_coco_b4')}"
+        " img/s |",
+        f"| Train step b8, device (VGG / R101) | {fmt(rec, 'train_vgg_b8')} / "
+        f"{fmt(rec, 'train_r101_b8')} img/s |",
+    ])
 
 
 def splice(path: str, begin: str, end: str, body: str) -> None:
