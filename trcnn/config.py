@@ -151,6 +151,16 @@ class OptimConfig:
     lr_decay_factor: float = 0.1
     lr_decay_step: int = 50000
     total_iters: int = 70000
+    # Linear lr warmup from base_lr*warmup_factor over the first
+    # warmup_steps iterations (Detectron-lineage recipe for deep-backbone
+    # stability; 0 disables — the reference VGG schedule has none).
+    warmup_steps: int = 0
+    warmup_factor: float = 1.0 / 3.0
+    # Global-norm gradient clipping before every other transform; 0.0
+    # disables (reference parity).  Guards the first steps of from-scratch
+    # deep backbones where a single outsized gradient can destroy the
+    # momentum trace.
+    clip_grad_norm: float = 0.0
 
 
 @dataclasses.dataclass(frozen=True)

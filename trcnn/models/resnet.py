@@ -34,11 +34,12 @@ class FrozenBatchNorm(nn.Module):
 
     dtype: Any = jnp.float32
     epsilon: float = 1e-5
+    scale_init: Any = nn.initializers.ones
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         ch = x.shape[-1]
-        scale = self.param("scale", nn.initializers.ones, (ch,), jnp.float32)
+        scale = self.param("scale", self.scale_init, (ch,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (ch,), jnp.float32)
         mean = self.param("mean", nn.initializers.zeros, (ch,), jnp.float32)
         var = self.param("var", nn.initializers.ones, (ch,), jnp.float32)
@@ -74,7 +75,15 @@ class Bottleneck(nn.Module):
         y = nn.relu(FrozenBatchNorm(dtype=self.dtype, name="bn2")(y))
         y = nn.Conv(out_ch, (1, 1), use_bias=False, dtype=self.dtype,
                     param_dtype=jnp.float32, name="conv3")(y)
-        y = FrozenBatchNorm(dtype=self.dtype, name="bn3")(y)
+        # zero-gamma residual init: each block starts as identity, so a
+        # RANDOM-init 101-layer net keeps unit-scale activations instead of
+        # compounding variance over 30+ residual adds (at lr 1e-3 that
+        # compounding diverged to NaN in 2 steps — round-3 ledger).  Loaded
+        # pretrained stats overwrite this, so the converted-weight path is
+        # untouched (standard trick: Goyal et al. 2017, "Accurate, Large
+        # Minibatch SGD", §5.1).
+        y = FrozenBatchNorm(dtype=self.dtype, name="bn3",
+                            scale_init=nn.initializers.zeros)(y)
         return nn.relu(y + residual)
 
 

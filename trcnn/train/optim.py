@@ -19,6 +19,7 @@ from __future__ import annotations
 from typing import Any, Callable, Dict
 
 import jax
+import jax.numpy as jnp
 import optax
 
 from trcnn.config import OptimConfig
@@ -61,8 +62,17 @@ def bias_mask(params) -> Any:
 
 
 def make_schedule(cfg: OptimConfig) -> optax.Schedule:
-    return optax.piecewise_constant_schedule(
+    base = optax.piecewise_constant_schedule(
         cfg.base_lr, {cfg.lr_decay_step: cfg.lr_decay_factor})
+    if cfg.warmup_steps <= 0:
+        return base
+
+    def with_warmup(step):
+        frac = jnp.minimum(step / cfg.warmup_steps, 1.0)
+        scale = cfg.warmup_factor + (1.0 - cfg.warmup_factor) * frac
+        return base(step) * scale
+
+    return with_warmup
 
 
 def make_optimizer(
@@ -86,7 +96,10 @@ def make_optimizer(
     schedule = make_schedule(cfg)
     bias_schedule = lambda step: 2.0 * schedule(step)
 
+    clip = (optax.clip_by_global_norm(cfg.clip_grad_norm)
+            if cfg.clip_grad_norm > 0 else optax.identity())
     tx = optax.chain(
+        clip,
         optax.masked(optax.add_decayed_weights(cfg.weight_decay), weights),
         optax.masked(optax.scale_by_learning_rate(schedule), weights),
         optax.masked(optax.scale_by_learning_rate(bias_schedule), biases),
