@@ -134,6 +134,25 @@ def render_readme_row(rec: dict) -> str:
     ])
 
 
+def render_arch_table(rec: dict) -> str:
+    return "\n".join([
+        f"| Config (commit `{rec['commit']}`) | Throughput |",
+        "|---|---|",
+        f"| VGG-16 detect, batch 32 | {fmt(rec, 'detect_vgg_b32')} img/s "
+        f"({fmt(rec, 'detect_vgg_b32', 'p50_per_img_ms')} ms/img) |",
+        f"| VGG-16 detect, batch 8 | {fmt(rec, 'detect_vgg_b8')} img/s |",
+        f"| VGG-16 detect, batch 1 | {fmt(rec, 'detect_vgg_b1')} img/s "
+        f"({fmt(rec, 'detect_vgg_b1', 'p50_step_ms')} ms incl. tunnel "
+        "dispatch) |",
+        f"| ResNet-101-C4 detect, batch 8 | {fmt(rec, 'detect_r101_b8')}"
+        " img/s |",
+        "| COCO config (800×1344, 81 classes), batch 4 | "
+        f"{fmt(rec, 'detect_coco_b4')} img/s |",
+        "| Train step b8 bf16, device (VGG / R101) | "
+        f"{fmt(rec, 'train_vgg_b8')} / {fmt(rec, 'train_r101_b8')} img/s |",
+    ])
+
+
 def splice(path: str, begin: str, end: str, body: str) -> None:
     with open(path) as f:
         text = f.read()
@@ -187,6 +206,9 @@ def main() -> int:
     splice(os.path.join(ROOT, "README.md"),
            "<!-- ledger:begin -->", "<!-- ledger:end -->",
            render_readme_row(history[-1]))
+    splice(os.path.join(ROOT, "docs", "ARCHITECTURE.md"),
+           "<!-- ledger:begin -->", "<!-- ledger:end -->",
+           render_arch_table(history[-1]))
     return 0
 
 
