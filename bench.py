@@ -54,6 +54,10 @@ def main() -> int:
                          "config 5 shapes)")
     ap.add_argument("--dtype", default="bfloat16",
                     choices=["bfloat16", "float32"])
+    ap.add_argument("--quant", default="none", choices=["none", "int8"],
+                    help="int8: dynamic-PTQ inference (trcnn/ops/quant.py) "
+                         "— convs + fc6/fc7 on the MXU's 2x int8 path; "
+                         "opt-in, off the parity contract")
     ap.add_argument("--checkpoint_dir", default=None,
                     help="orbax dir with trained params — benches a "
                          "TRAINED score distribution (the NMS fixpoint/"
@@ -91,7 +95,7 @@ def main() -> int:
         cfg = cfg.replace(test=dataclasses.replace(cfg.test,
                                                    nms_impl=args.nms_impl))
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
-    model = make_model(cfg, dtype=dtype)
+    model = make_model(cfg, dtype=dtype, quant=args.quant)
 
     b, h, w = args.batch_size, cfg.image.pad_h, cfg.image.pad_w
     rng = jax.random.PRNGKey(0)

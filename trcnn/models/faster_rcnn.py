@@ -67,13 +67,22 @@ class FasterRCNN(nn.Module):
 
     cfg: FasterRCNNConfig = FasterRCNNConfig()
     dtype: Any = jnp.float32
+    # "int8": dynamic-PTQ inference (trcnn/ops/quant.py) — convs + fc6/fc7
+    # on the MXU's 2x int8 path.  Inference-only (no gradient through the
+    # quantizer); ``losses`` asserts.  Parameter tree identical to fp32.
+    quant: str = "none"
 
     def setup(self):
+        if self.quant not in ("none", "int8"):
+            raise ValueError(f"unknown quant mode {self.quant!r}")
+        if self.quant != "none" and self.cfg.backbone != "vgg16":
+            raise ValueError("quant='int8' currently supports the vgg16 "
+                             "backbone only")
         if self.cfg.backbone == "vgg16":
-            self.extractor = VGG16(dtype=self.dtype)
+            self.extractor = VGG16(dtype=self.dtype, quant=self.quant)
             self.head = VGG16RoIHead(num_classes=self.cfg.num_classes,
                                      hidden=self.cfg.head_hidden,
-                                     dtype=self.dtype)
+                                     dtype=self.dtype, quant=self.quant)
             self.pool_size = self.cfg.roi.output_size          # 7
         elif self.cfg.backbone == "resnet101":
             self.extractor = ResNet101C4(dtype=self.dtype)
@@ -230,6 +239,10 @@ class FasterRCNN(nn.Module):
           gt_boxes: (B, G, 4) scaled to canvas coords; gt_labels (B, G);
           gt_valid: (B, G) bool.
         """
+        if self.quant != "none":
+            raise ValueError("quantized models are inference-only: "
+                             "jnp.round passes no gradient (train fp32, "
+                             "deploy int8)")
         cfg = self.cfg
         b = images.shape[0]
         feat = self.extractor(self._prepare(images, im_info))
@@ -368,5 +381,6 @@ def postprocess(
 
 
 def make_model(cfg: FasterRCNNConfig = FasterRCNNConfig(),
-               dtype: Any = jnp.float32) -> FasterRCNN:
-    return FasterRCNN(cfg=cfg, dtype=dtype)
+               dtype: Any = jnp.float32,
+               quant: str = "none") -> FasterRCNN:
+    return FasterRCNN(cfg=cfg, dtype=dtype, quant=quant)

@@ -30,6 +30,7 @@ class _GroupedDense(nn.Module):
 
     features: int
     dtype: Any = jnp.float32
+    quant: str = "none"   # "int8": dynamic-PTQ matmul (trcnn/ops/quant.py)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray,
@@ -39,7 +40,7 @@ class _GroupedDense(nn.Module):
                             (d, self.features), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros,
                           (self.features,), jnp.float32)
-        k = kernel.astype(self.dtype)
+        k = kernel
         if groups is not None and groups[0] > 1:
             ncb, cb = groups
             s = d // (ncb * cb)
@@ -47,6 +48,11 @@ class _GroupedDense(nn.Module):
             # (cbi, spatial, cw)
             k = k.reshape(s, ncb, cb, self.features)
             k = jnp.moveaxis(k, 1, 0).reshape(d, self.features)
+        if self.quant == "int8":
+            from trcnn.ops.quant import qdense
+            # row permutation above commutes with per-OUT-channel scales
+            return qdense(x, k, bias).astype(self.dtype)
+        k = k.astype(self.dtype)
         return x.astype(self.dtype) @ k + bias.astype(self.dtype)
 
 
@@ -63,6 +69,7 @@ class VGG16RoIHead(nn.Module):
     hidden: int = 4096
     dropout_rate: float = 0.5
     dtype: Any = jnp.float32
+    quant: str = "none"   # "int8": fc6/fc7 run as dynamic-PTQ int8 matmuls
 
     @nn.compact
     def __call__(
@@ -72,9 +79,15 @@ class VGG16RoIHead(nn.Module):
         r = pooled.shape[0]
         y = pooled.reshape(r, -1).astype(self.dtype)   # (R, 7*7*512) NHWC order
         y = nn.relu(_GroupedDense(self.hidden, dtype=self.dtype,
+                                  quant=self.quant,
                                   name="fc6")(y, flat_groups))
         y = nn.Dropout(self.dropout_rate, deterministic=deterministic)(y)
-        y = nn.relu(nn.Dense(self.hidden, dtype=self.dtype,
+        # fc7 via _GroupedDense(groups=None) == plain dense with the same
+        # {kernel, bias} tree as nn.Dense — checkpoint-compatible
+        y = nn.relu(_GroupedDense(self.hidden, dtype=self.dtype,
+                                  quant=self.quant, name="fc7")(y)
+                    if self.quant != "none" else
+                    nn.Dense(self.hidden, dtype=self.dtype,
                              param_dtype=jnp.float32, name="fc7")(y))
         y = nn.Dropout(self.dropout_rate, deterministic=deterministic)(y)
         y = y.astype(jnp.float32)

@@ -65,6 +65,11 @@ class VGG16(nn.Module):
     """
 
     dtype: Any = jnp.float32  # compute dtype; use jnp.bfloat16 on TPU
+    # "int8": dynamic PTQ on every conv from conv2_1 up (trcnn/ops/quant.py)
+    # — inference-only, 2x MXU peak on v5e.  The fused stem stays bf16: its
+    # roofline is the 3-input-channel systolic lane cap, which int8 does not
+    # lift.  "none" = the fp32/bf16 parity path (default).
+    quant: str = "none"
     freeze_stem: bool = True
     # "auto": the fused Pallas conv1_1+conv1_2+pool1 kernel on TPU (the
     # 64-channel stem runs ~3x off roofline under XLA's conv emitters —
@@ -95,20 +100,48 @@ class VGG16(nn.Module):
             if bi < start:
                 continue
             for ci in range(n_convs):
-                x = nn.Conv(
-                    ch,
-                    (3, 3),
-                    padding="SAME",
-                    dtype=self.dtype,
-                    param_dtype=jnp.float32,
-                    name=f"{name}_{ci + 1}",
-                )(x)
+                if self.quant == "int8":
+                    x = QConv(ch, name=f"{name}_{ci + 1}",
+                              dtype=self.dtype)(x)
+                else:
+                    x = nn.Conv(
+                        ch,
+                        (3, 3),
+                        padding="SAME",
+                        dtype=self.dtype,
+                        param_dtype=jnp.float32,
+                        name=f"{name}_{ci + 1}",
+                    )(x)
                 x = nn.relu(x)
             if bi == 1 and self.freeze_stem:  # conv2_2: frozen-stem boundary
                 x = jax.lax.stop_gradient(x)
             if bi < len(VGG_CFG) - 1:  # no pool after conv5 block
                 x = max_pool_2x2(x)
         return x
+
+
+class QConv(nn.Module):
+    """3x3 SAME conv running as int8 on the MXU (trcnn/ops/quant.py).
+
+    Declares the exact kernel/bias tree of the nn.Conv it replaces — fp32
+    checkpoints and the weight importers load unchanged; quantization is
+    in-graph and inference-only.
+    """
+
+    features: int
+    kernel_size: Tuple[int, int] = (3, 3)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from trcnn.ops.quant import qconv2d
+
+        kh, kw = self.kernel_size
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (kh, kw, x.shape[-1], self.features), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros,
+                       (self.features,), jnp.float32)
+        return qconv2d(x, k, b).astype(self.dtype)
 
 
 class _ConvParams(nn.Module):
