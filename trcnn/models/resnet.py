@@ -34,12 +34,11 @@ class FrozenBatchNorm(nn.Module):
 
     dtype: Any = jnp.float32
     epsilon: float = 1e-5
-    scale_init: Any = nn.initializers.ones
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         ch = x.shape[-1]
-        scale = self.param("scale", self.scale_init, (ch,), jnp.float32)
+        scale = self.param("scale", nn.initializers.ones, (ch,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (ch,), jnp.float32)
         mean = self.param("mean", nn.initializers.zeros, (ch,), jnp.float32)
         var = self.param("var", nn.initializers.ones, (ch,), jnp.float32)
@@ -73,17 +72,23 @@ class Bottleneck(nn.Module):
         y = nn.Conv(self.channels, (3, 3), padding="SAME", use_bias=False,
                     dtype=self.dtype, param_dtype=jnp.float32, name="conv2")(y)
         y = nn.relu(FrozenBatchNorm(dtype=self.dtype, name="bn2")(y))
-        y = nn.Conv(out_ch, (1, 1), use_bias=False, dtype=self.dtype,
-                    param_dtype=jnp.float32, name="conv3")(y)
-        # zero-gamma residual init: each block starts as identity, so a
+        # Zero-init residual exit: each block starts as identity, so a
         # RANDOM-init 101-layer net keeps unit-scale activations instead of
         # compounding variance over 30+ residual adds (at lr 1e-3 that
-        # compounding diverged to NaN in 2 steps — round-3 ledger).  Loaded
-        # pretrained stats overwrite this, so the converted-weight path is
-        # untouched (standard trick: Goyal et al. 2017, "Accurate, Large
-        # Minibatch SGD", §5.1).
-        y = FrozenBatchNorm(dtype=self.dtype, name="bn3",
-                            scale_init=nn.initializers.zeros)(y)
+        # compounding diverged to NaN in 2 steps — round-3 ledger).  The
+        # zero lives on the TRAINABLE conv3 kernel, not on bn3's scale:
+        # FrozenBN scales are permanently masked by the optimizer
+        # (trcnn/train/optim.py freezes every 'bn' subtree for resnet), so
+        # a zero gamma there would cut the conv1/conv2 gradient path for
+        # the whole run (ADVICE r3, high).  conv3's own gradient is nonzero
+        # at init (its input is live), so it leaves zero after one update
+        # and the residual branch trains — the trainable-gamma behavior of
+        # Goyal et al. 2017 §5.1, expressed on the conv.  Pretrained
+        # weights overwrite the kernel, so the converted path is untouched.
+        y = nn.Conv(out_ch, (1, 1), use_bias=False, dtype=self.dtype,
+                    param_dtype=jnp.float32, name="conv3",
+                    kernel_init=nn.initializers.zeros)(y)
+        y = FrozenBatchNorm(dtype=self.dtype, name="bn3")(y)
         return nn.relu(y + residual)
 
 

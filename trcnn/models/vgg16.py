@@ -100,7 +100,13 @@ class VGG16(nn.Module):
             if bi < start:
                 continue
             for ci in range(n_convs):
-                if self.quant == "int8":
+                # int8 starts at conv2_1: block 0 stays full-precision even
+                # when the fused stem is inactive (non-TPU backend or
+                # fused_stem=False), so quant coverage is backend-independent
+                # and the raw-pixel first layers are never quantized
+                # (ADVICE r3: the docstring contract said so; now the code
+                # does too).
+                if self.quant == "int8" and bi >= 1:
                     x = QConv(ch, name=f"{name}_{ci + 1}",
                               dtype=self.dtype)(x)
                 else:

@@ -70,7 +70,10 @@ def make_schedule(cfg: OptimConfig) -> optax.Schedule:
     def with_warmup(step):
         frac = jnp.minimum(step / cfg.warmup_steps, 1.0)
         scale = cfg.warmup_factor + (1.0 - cfg.warmup_factor) * frac
-        return base(step) * scale
+        # the ramp targets base_lr, and the decayed schedule caps it — so a
+        # warmup configured past lr_decay_step cannot silently re-scale the
+        # decayed lr (ADVICE r3)
+        return jnp.minimum(base(step), cfg.base_lr * scale)
 
     return with_warmup
 
