@@ -73,6 +73,44 @@ def run_one(key: str) -> dict:
     return out
 
 
+# A single-run throughput number on the tunneled shared chip can be off by
+# 2x under transient contention: the r3 ledger recorded detect_vgg_b8 at
+# 145.7 img/s where three r4 re-runs of the IDENTICAL code measured
+# 252-256 (NOTES_ROUND4.md), and no process caught it.  If a metric moves
+# more than REMEASURE_REL vs the previous record, re-run until two samples
+# agree within AGREE_REL (max 3 samples) and keep the median — transients
+# get outvoted, real regressions reproduce and stand.
+REMEASURE_REL = 0.20
+AGREE_REL = 0.10
+
+
+def run_stable(key: str, prev: dict | None) -> dict:
+    out = run_one(key)
+    prev_v = (prev or {}).get("value")
+    v = out.get("value")
+    if not (isinstance(prev_v, (int, float)) and isinstance(v, (int, float))
+            and prev_v > 0):
+        return out
+    if abs(v / prev_v - 1.0) <= REMEASURE_REL:
+        return out
+    print(f"[{key}] {v:g} is {v / prev_v:.2f}x the previous record "
+          f"({prev_v:g}) — re-measuring to rule out a transient", flush=True)
+    samples = [out]
+    while len(samples) < 3:
+        samples.append(run_one(key))
+        vals = sorted(s["value"] for s in samples)
+        if len(vals) >= 2 and vals[-1] > 0 and \
+                (vals[-1] - vals[0]) / vals[-1] <= AGREE_REL:
+            break
+    vals = sorted(samples, key=lambda s: s["value"])
+    med = vals[len(vals) // 2]
+    med["samples"] = [s["value"] for s in samples]
+    med["remeasured"] = True
+    print(f"[{key}] kept median {med['value']:g} of {med['samples']}",
+          flush=True)
+    return med
+
+
 def head_commit() -> str:
     return subprocess.run(["git", "-C", ROOT, "rev-parse", "--short", "HEAD"],
                           capture_output=True, text=True).stdout.strip()
@@ -162,6 +200,41 @@ def splice(path: str, begin: str, end: str, body: str) -> None:
     print(f"rewrote {os.path.basename(path)}")
 
 
+def check(history: list) -> int:
+    """Round-close gate (VERDICT r3 item 5): nonzero unless the last ledger
+    record was measured at the CURRENT HEAD.  The r3 ledger was left one
+    refresh behind HEAD in the round that instituted it; this makes
+    staleness loud.  Also cross-checks the driver's BENCH_r*.json when one
+    exists at the same commit (>2% drift fails)."""
+    if not history:
+        print("ledger check: FAIL — empty ledger", file=sys.stderr)
+        return 1
+    rec, head = history[-1], head_commit()
+    if rec["commit"] != head:
+        print(f"ledger check: FAIL — last record at {rec['commit']}, "
+              f"HEAD is {head}; run refresh_ledger.py", file=sys.stderr)
+        return 1
+    import glob
+
+    for bp in sorted(glob.glob(os.path.join(ROOT, "BENCH_r*.json"))):
+        try:
+            with open(bp) as f:
+                bench = json.load(f)
+        except Exception:
+            continue
+        if bench.get("commit") != head:
+            continue
+        lv = rec["results"].get("detect_vgg_b32", {}).get("value")
+        bv = bench.get("value")
+        if lv and bv and abs(bv / lv - 1.0) > 0.02:
+            print(f"ledger check: FAIL — {os.path.basename(bp)} at the same "
+                  f"commit reads {bv} vs ledger {lv} (>2% drift)",
+                  file=sys.stderr)
+            return 1
+    print(f"ledger check: ok — record '{rec['label']}' at HEAD {head}")
+    return 0
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--only", nargs="*", default=None,
@@ -170,17 +243,24 @@ def main() -> int:
                     help="column label (default rN by history length)")
     ap.add_argument("--rewrite_only", action="store_true",
                     help="skip measurement; regenerate docs from ledger")
+    ap.add_argument("--check", action="store_true",
+                    help="no measurement: exit nonzero unless the last "
+                         "ledger record is at the current HEAD (and agrees "
+                         "with any BENCH_r*.json at that commit)")
     args = ap.parse_args()
 
     history = load_ledger()
+    if args.check:
+        return check(history)
     if not args.rewrite_only:
         keys = args.only or list(MATRIX)
         results = {}
         # reuse the previous record for keys not re-measured
         if args.only and history:
             results.update(history[-1]["results"])
+        prev_results = history[-1]["results"] if history else {}
         for k in keys:
-            results[k] = run_one(k)
+            results[k] = run_stable(k, prev_results.get(k))
         rec = {
             "label": args.label or f"r{len(history) + 1}",
             "commit": head_commit(),
