@@ -30,6 +30,9 @@ def main() -> int:
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--backbone", default="vgg16",
                     choices=["vgg16", "resnet101"])
+    ap.add_argument("--config", default="voc", choices=["voc", "coco"],
+                    help="coco: 800x1344 canvas, 81 classes, COCO "
+                         "capacities (BASELINE config 5's training half)")
     ap.add_argument("--trace", action="store_true",
                     help="also write a profiler trace to /tmp/trcnn_train_trace")
     args = ap.parse_args()
@@ -37,12 +40,12 @@ def main() -> int:
     import jax
     import jax.numpy as jnp
 
-    from trcnn.config import voc_config
+    from trcnn.config import coco_config, voc_config
     from trcnn.models import make_model
     from trcnn.train.optim import make_optimizer
     from trcnn.train.step import TrainState, make_train_step
 
-    cfg = voc_config()
+    cfg = voc_config() if args.config == "voc" else coco_config()
     if args.backbone != "vgg16":
         cfg = cfg.replace(backbone=args.backbone)
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
@@ -51,8 +54,9 @@ def main() -> int:
     rng = jax.random.PRNGKey(0)
     images = (jax.random.normal(rng, (b, h, w, 3), jnp.float32) * 30.0
               ).astype(dtype)
-    im_info = jnp.tile(jnp.asarray([[600.0, 1000.0, 1.6]], jnp.float32),
-                       (b, 1))
+    info_hw = ((600.0, 1000.0, 1.6) if args.config == "voc"
+               else (800.0, 1333.0, 1.665))
+    im_info = jnp.tile(jnp.asarray([list(info_hw)], jnp.float32), (b, 1))
     g = 8
     gt_boxes = jnp.tile(jnp.asarray(
         [[[40.0, 60.0, 300.0, 280.0], [350.0, 100.0, 600.0, 420.0]]
@@ -101,6 +105,7 @@ def main() -> int:
         "step_ms": round(dt * 1e3, 2),
         "batch_size": b,
         "backbone": args.backbone,
+        "config": args.config,
         "loss": round(float(metrics["loss"]), 4),
     }))
     return 0

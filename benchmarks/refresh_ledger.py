@@ -45,6 +45,8 @@ MATRIX = {
     "train_vgg_b8": ("benchmarks/bench_train.py", ["--batch_size", "8"]),
     "train_r101_b8": ("benchmarks/bench_train.py",
                       ["--batch_size", "8", "--backbone", "resnet101"]),
+    "train_coco_b4": ("benchmarks/bench_train.py",
+                      ["--batch_size", "4", "--config", "coco"]),
 }
 
 
@@ -147,6 +149,8 @@ def render_baseline_table(history: list) -> str:
         ("Train step, VGG-16 b8 device (img/s)", "train_vgg_b8", "value"),
         ("Train step, ResNet-101-C4 b8 device (img/s)",
          "train_r101_b8", "value"),
+        ("Train step, COCO config 800×1344, 81 cls, b4 (img/s)",
+         "train_coco_b4", "value"),
     ]
     lines = [f"| Metric | {heads} |",
              "|---|" + "---|" * len(recs)]
@@ -188,6 +192,8 @@ def render_arch_table(rec: dict) -> str:
         f"{fmt(rec, 'detect_coco_b4')} img/s |",
         "| Train step b8 bf16, device (VGG / R101) | "
         f"{fmt(rec, 'train_vgg_b8')} / {fmt(rec, 'train_r101_b8')} img/s |",
+        "| Train step, COCO config (800×1344, 81 cls, multiscale caps), "
+        f"batch 4 | {fmt(rec, 'train_coco_b4')} img/s |",
     ])
 
 

@@ -22,10 +22,30 @@ sys.path.insert(0, __file__.rsplit("/scripts/", 1)[0])
 
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--dataset", default="voc", choices=["voc", "synthetic"])
-    ap.add_argument("--dataset_root", default=None,
-                    help="VOCdevkit/VOC2007 root (required for --dataset voc)")
+    ap.add_argument("--dataset", default="voc",
+                    choices=["voc", "coco", "synthetic"])
+    ap.add_argument("--dataset_root", action="append", default=None,
+                    help="VOCdevkit/VOCxxxx root (required for --dataset "
+                         "voc).  Repeatable: multiple roots train on the "
+                         "concatenated union — BASELINE config 4's "
+                         "VOC07+12 trainval is two --dataset_root flags")
     ap.add_argument("--split", default="trainval")
+    ap.add_argument("--config", default=None, choices=["voc", "coco"],
+                    help="hyperparameter preset (classes, canvas, "
+                         "capacities, multiscale).  Default: matches "
+                         "--dataset (synthetic uses voc unless overridden "
+                         "— pass --config coco for the 81-class multiscale "
+                         "BASELINE config-5 recipe on synthetic data)")
+    ap.add_argument("--coco_image_root", default=None,
+                    help="--dataset coco: directory with the image files "
+                         "(e.g. train2017/)")
+    ap.add_argument("--coco_ann_file", default=None,
+                    help="--dataset coco: instances_*.json path")
+    ap.add_argument("--coco_eval_image_root", default=None,
+                    help="--dataset coco: val image dir for --eval_every")
+    ap.add_argument("--coco_eval_ann_file", default=None,
+                    help="--dataset coco: val instances json for "
+                         "--eval_every")
     ap.add_argument("--pretrained_model", default=None,
                     help="chainer npz to warm-start from (ImageNet trunk or "
                          "full detector)")
@@ -85,12 +105,14 @@ def main() -> int:
     import jax
     import numpy as np
 
-    from trcnn.config import voc_config
-    from trcnn.data import DetectionLoader, SyntheticDetection, VOCDetection
+    from trcnn.config import coco_config, voc_config
+    from trcnn.data import (COCODetection, ConcatDetection, DetectionLoader,
+                            SyntheticDetection, VOCDetection)
     from trcnn.models import make_model
     from trcnn.train import TrainConfig, Trainer
 
-    cfg = voc_config()
+    preset = args.config or ("coco" if args.dataset == "coco" else "voc")
+    cfg = coco_config() if preset == "coco" else voc_config()
     if args.backbone != "vgg16":
         cfg = cfg.replace(backbone=args.backbone)
     if args.lr is not None or args.lr_decay_step is not None:
@@ -105,7 +127,13 @@ def main() -> int:
     if args.dataset == "voc":
         if not args.dataset_root:
             ap.error("--dataset voc requires --dataset_root")
-        ds = VOCDetection(args.dataset_root, args.split)
+        parts = [VOCDetection(root, args.split) for root in args.dataset_root]
+        ds = parts[0] if len(parts) == 1 else ConcatDetection(parts)
+    elif args.dataset == "coco":
+        if not (args.coco_image_root and args.coco_ann_file):
+            ap.error("--dataset coco requires --coco_image_root and "
+                     "--coco_ann_file")
+        ds = COCODetection(args.coco_image_root, args.coco_ann_file)
     else:
         ds = SyntheticDetection(n=512, num_classes=cfg.num_classes,
                                 seed=args.seed)
@@ -173,8 +201,16 @@ def main() -> int:
         # first eval step
         from trcnn.eval import Evaluator
         if args.dataset == "voc":
-            eval_ds = VOCDetection(args.dataset_root, args.eval_split,
+            # held-out eval stays single-root (VOC07-test is the metric
+            # even for 07+12 union training — SURVEY.md §7)
+            eval_ds = VOCDetection(args.dataset_root[0], args.eval_split,
                                    use_difficult=True)
+        elif args.dataset == "coco":
+            if not (args.coco_eval_image_root and args.coco_eval_ann_file):
+                ap.error("--dataset coco with --eval_every requires "
+                         "--coco_eval_image_root and --coco_eval_ann_file")
+            eval_ds = COCODetection(args.coco_eval_image_root,
+                                    args.coco_eval_ann_file, use_crowd=True)
         else:
             eval_ds = SyntheticDetection(n=64, num_classes=cfg.num_classes,
                                          seed=args.seed + 1)

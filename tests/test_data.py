@@ -168,3 +168,57 @@ def test_sharded_loader_requires_get_size():
     import pytest
     with pytest.raises(TypeError, match="get_size"):
         next(iter(loader))
+
+
+def test_concat_detection_union_indexing():
+    """VOC07+12 union (BASELINE config 4): concatenated index space, ids
+    made unique by part prefix, get_size/get_annotation pass through."""
+    from trcnn.data import ConcatDetection
+
+    a = SyntheticDetection(n=5, seed=1)
+    b = SyntheticDetection(n=3, seed=2)
+    ds = ConcatDetection([a, b])
+    assert len(ds) == 8
+    # part boundary: index 4 is a[4], index 5 is b[0]
+    np.testing.assert_array_equal(ds.get_example(4)["image"],
+                                  a.get_example(4)["image"])
+    np.testing.assert_array_equal(ds.get_example(5)["image"],
+                                  b.get_example(0)["image"])
+    assert ds.get_size(6) == b.get_size(1)
+    # ids unique even when the parts collide (same seed -> same inner ids)
+    dup = ConcatDetection([SyntheticDetection(n=4, seed=1),
+                           SyntheticDetection(n=4, seed=1)])
+    assert len(set(dup.ids)) == 8
+    assert dup.get_example(0)["id"] != dup.get_example(4)["id"]
+    ann = ds.get_annotation(5)
+    assert ann["id"].startswith("1:")
+    np.testing.assert_array_equal(ann["boxes"], b.get_annotation(0)["boxes"])
+    import pytest as _pytest
+    with _pytest.raises(IndexError):
+        ds.get_example(8)
+
+
+def test_concat_detection_through_sharded_loader():
+    """The union must drive the multi-host bucket schedule unchanged
+    (get_size forwards, so both shards agree on every batch's canvas)."""
+    from trcnn.config import ImageConfig
+    from trcnn.data import ConcatDetection
+
+    ds = ConcatDetection([
+        SyntheticDetection(n=12, hw_range=((40, 90), (40, 90)), seed=3),
+        SyntheticDetection(n=12, hw_range=((40, 90), (40, 90)), seed=4),
+    ])
+    icfg = ImageConfig(target_min_size=48, target_max_size=96,
+                       pad_h=64, pad_w=96)
+    shards = [list(DetectionLoader(ds, batch_size=2, image_cfg=icfg,
+                                   shuffle=True, seed=7, prefetch=0,
+                                   shard_id=sid, num_shards=2))
+              for sid in range(2)]
+    a, b = shards
+    assert len(a) == len(b) and len(a) >= 3
+    for ba, bb in zip(a, b):
+        assert ba.images.shape == bb.images.shape
+    # both parts represented in the union epoch
+    seen = {i for bt in a + b for i in bt.ids}
+    assert any(i.startswith("0:") for i in seen)
+    assert any(i.startswith("1:") for i in seen)

@@ -128,3 +128,58 @@ def test_trainer_checkpoint_and_auto_resume(model_and_params, tmp_path):
         rtol=1e-6)
     t2.fit(batches())
     assert int(t2.state.step) == 5
+
+
+def test_coco_config_multiscale_train_step_81_classes():
+    """BASELINE config 5's training half: an 81-class head + a MULTISCALE
+    loader batch through one real gradient step (the multiscale path had
+    only shape tests before — VERDICT r3 item 2).  Tiny canvas keeps it
+    CI-cheap; the class count and the per-image scale variation are the
+    contract under test."""
+    from trcnn.config import ImageConfig, coco_config
+
+    cfg = coco_config().replace(
+        head_hidden=32, rpn_channels=16,
+        proposals=ProposalConfig(pre_nms_topk_train=192,
+                                 post_nms_topk_train=32,
+                                 pre_nms_topk_test=192,
+                                 post_nms_topk_test=16),
+        proposal_targets=ProposalTargetConfig(rois_per_image=8),
+        image=ImageConfig(target_min_size=60, target_max_size=96,
+                          pad_h=64, pad_w=96,
+                          multiscale_min_sizes=(40, 52, 60)),
+        optim=OptimConfig(base_lr=1e-3, total_iters=10),
+    )
+    assert cfg.num_classes == 81
+    model = make_model(cfg)
+    ds = SyntheticDetection(n=16, num_classes=cfg.num_classes,
+                            hw_range=((50, 80), (60, 90)), seed=5)
+    loader = DetectionLoader(ds, batch_size=4, max_boxes=8,
+                             image_cfg=cfg.image, augment=True,
+                             shuffle=True, seed=0, prefetch=0)
+    batch = next(iter(loader))
+    # multiscale actually sampled different shorter sides in this batch
+    shorter = {round(float(min(i[0], i[1]))) for i in batch.im_info}
+    assert len(shorter) > 1, f"multiscale produced one scale: {shorter}"
+
+    params = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                 jnp.asarray(batch.images),
+                                 jnp.asarray(batch.im_info))
+    # 81-class head shapes
+    assert params["params"]["head"]["cls_score"]["kernel"].shape[-1] == 81
+    assert params["params"]["head"]["bbox_pred"]["kernel"].shape[-1] == 324
+    tx = make_optimizer(params, cfg.optim, cfg.backbone)
+    state = TrainState.create(params, tx)
+    step = make_train_step(model, tx, mesh=None)
+    db = {"images": jnp.asarray(batch.images),
+          "im_info": jnp.asarray(batch.im_info),
+          "gt_boxes": jnp.asarray(batch.gt_boxes),
+          "gt_labels": jnp.asarray(batch.gt_labels),
+          "gt_valid": jnp.asarray(batch.gt_valid)}
+    before = np.asarray(params["params"]["head"]["cls_score"]["kernel"])
+    new_state, metrics = step(state, db, jax.random.PRNGKey(1))
+    for k in ("loss", "rpn_cls_loss", "rpn_bbox_loss", "cls_loss",
+              "bbox_loss"):
+        assert np.isfinite(float(metrics[k])), (k, metrics)
+    after = np.asarray(new_state.params["params"]["head"]["cls_score"]["kernel"])
+    assert np.abs(after - before).max() > 0

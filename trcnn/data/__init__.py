@@ -15,6 +15,7 @@ from trcnn.data.preprocess import (
 from trcnn.data.voc import VOCDetection, parse_voc_xml
 from trcnn.data.coco import COCODetection
 from trcnn.data.synthetic import SyntheticDetection
+from trcnn.data.concat import ConcatDetection
 from trcnn.data.loader import DetectionLoader, Batch
 
 __all__ = [
@@ -24,6 +25,7 @@ __all__ = [
     "VOCDetection",
     "parse_voc_xml",
     "COCODetection",
+    "ConcatDetection",
     "SyntheticDetection",
     "DetectionLoader",
     "Batch",
