@@ -190,6 +190,9 @@ class FasterRCNNConfig:
     backbone: str = "vgg16"  # or "resnet101"
     head_hidden: int = 4096  # fc6/fc7 width (VGG head); small in unit tests
     rpn_channels: int = 512  # RPN 3x3 conv width
+    head_dropout: float = 0.5  # fc6/fc7 dropout rate (reference recipe);
+    #                            0.0 disables (cross-impl train parity runs
+    #                            compare deterministic loss values)
     anchors: AnchorConfig = AnchorConfig()
     proposals: ProposalConfig = ProposalConfig()
     anchor_targets: AnchorTargetConfig = AnchorTargetConfig()

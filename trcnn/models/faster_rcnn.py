@@ -35,6 +35,13 @@ from trcnn.ops.boxes import bbox_transform_inv, clip_boxes
 from trcnn.ops.nms import multiclass_nms
 from trcnn.ops.proposal import proposal_layer
 from trcnn.ops.roi_pool import roi_max_pool
+
+
+def _pallas_pool_fits(feat: jnp.ndarray, pool_size: int) -> bool:
+    from trcnn.ops.roi_pool_pallas import pallas_vmem_fits
+    _, h, w, c = feat.shape
+    return pallas_vmem_fits(h, w, c, jnp.dtype(feat.dtype).itemsize,
+                            pool_size)
 from trcnn.targets.anchor_targets import anchor_targets
 from trcnn.targets.proposal_targets import proposal_targets
 
@@ -82,6 +89,7 @@ class FasterRCNN(nn.Module):
             self.extractor = VGG16(dtype=self.dtype, quant=self.quant)
             self.head = VGG16RoIHead(num_classes=self.cfg.num_classes,
                                      hidden=self.cfg.head_hidden,
+                                     dropout_rate=self.cfg.head_dropout,
                                      dtype=self.dtype, quant=self.quant)
             self.pool_size = self.cfg.roi.output_size          # 7
         elif self.cfg.backbone == "resnet101":
@@ -140,6 +148,17 @@ class FasterRCNN(nn.Module):
                 feat, rois, out_size=self.pool_size,
                 spatial_scale=self.cfg.roi.spatial_scale)
         elif jax.default_backend() == "cpu":
+            pool = functools.partial(
+                roi_max_pool,
+                out_size=self.pool_size,
+                spatial_scale=self.cfg.roi.spatial_scale,
+            )
+            pooled = jax.vmap(pool)(feat, rois)
+        elif not _pallas_pool_fits(feat, self.pool_size):
+            # f32 at the COCO 800x1344 canvas overflows the kernel's
+            # scoped-VMEM budget even at the minimum channel block (see
+            # pallas_vmem_fits); the XLA formulation is the correctness
+            # fallback — bf16, the recommended dtype, keeps the kernel
             pool = functools.partial(
                 roi_max_pool,
                 out_size=self.pool_size,

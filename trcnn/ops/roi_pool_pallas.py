@@ -171,6 +171,27 @@ def _channel_block(h: int, w: int, c: int, levels: int, itemsize: int,
     return cblock
 
 
+def pallas_vmem_fits(h: int, w: int, c: int, itemsize: int,
+                     out_size: int = 7) -> bool:
+    """Static predicate: can this kernel's table block fit scoped VMEM?
+
+    ``_channel_block`` bottoms out at 128 lanes (sub-128 blocks misalign
+    the (8, 128) tile), so for large canvases at f32 the MINIMUM table
+    block can still overflow: the COCO 800x1344 canvas (50x84 map,
+    4 levels) gives an 8.6 MB f32 block -> 17.2 MB double-buffered,
+    over Mosaic's 16 MB scoped-VMEM budget (observed: compile fails with
+    a 17.67M stack allocation).  The model falls back to the XLA
+    formulation when this returns False; bf16 (the recommended dtype)
+    fits every supported canvas and keeps the kernel.
+    """
+    levels = _levels_for(max_bin_extent(h, out_size))
+    cblock = _channel_block(h, w, c, levels, itemsize)
+    table_block = levels * h * w * cblock * itemsize
+    # double-buffered table block + ~1 MB of output/rowmax headroom must
+    # stay inside the 16 MB scoped budget
+    return 2 * table_block + (1 << 20) <= 15 * 2 ** 20
+
+
 def flat_lane_groups(h: int, w: int, c: int, out_size: int,
                      itemsize: int) -> Tuple[int, int]:
     """(ncb, cblock) lane grouping of the ``flat_out`` forward: the flat
