@@ -55,6 +55,11 @@ def main() -> int:
     ap.add_argument("--iters", type=int, default=None,
                     help="override total iterations (default 70000)")
     ap.add_argument("--lr", type=float, default=None)
+    ap.add_argument("--warmup_steps", type=int, default=None,
+                    help="linear lr warmup iterations (from-scratch deep "
+                         "backbones; default 0 = reference parity)")
+    ap.add_argument("--clip_grad_norm", type=float, default=None,
+                    help="global-norm gradient clip; default 0 = off")
     ap.add_argument("--lr_decay_step", type=int, default=None,
                     help="step at which lr multiplies by lr_decay_factor "
                          "(default 50000, the reference schedule)")
@@ -115,13 +120,17 @@ def main() -> int:
     cfg = coco_config() if preset == "coco" else voc_config()
     if args.backbone != "vgg16":
         cfg = cfg.replace(backbone=args.backbone)
-    if args.lr is not None or args.lr_decay_step is not None:
+    optim_overrides = {}
+    if args.lr is not None:
+        optim_overrides["base_lr"] = args.lr
+    if args.lr_decay_step is not None:
+        optim_overrides["lr_decay_step"] = args.lr_decay_step
+    if args.warmup_steps is not None:
+        optim_overrides["warmup_steps"] = args.warmup_steps
+    if args.clip_grad_norm is not None:
+        optim_overrides["clip_grad_norm"] = args.clip_grad_norm
+    if optim_overrides:
         import dataclasses as _dc
-        optim_overrides = {}
-        if args.lr is not None:
-            optim_overrides["base_lr"] = args.lr
-        if args.lr_decay_step is not None:
-            optim_overrides["lr_decay_step"] = args.lr_decay_step
         cfg = cfg.replace(optim=_dc.replace(cfg.optim, **optim_overrides))
 
     if args.dataset == "voc":

@@ -1,0 +1,298 @@
+"""Falsification probes for the cross-implementation harness (VERDICT r3
+item 6): prove the check has TEETH by seeding one contract mutation at a
+time into the independent reference and asserting the comparison now
+FAILS loudly (order-1 divergence in the discrete decisions or numerics),
+exactly where tests/test_cross_impl.py requires agreement.
+
+Each probe is the falsified form of a cross-component contract from
+SURVEY.md §8 that a self-captured golden could never catch if BOTH sides
+had always been wrong together:
+
+  * RPN score channel layout — (bg/fg major, anchor minor) vs flipped;
+  * anchor enumeration order — grid-major/anchor-minor vs flipped;
+  * the +1 pixel convention in bbox decode;
+  * the +1 convention inside NMS IoU;
+  * the fc6 flatten order — NHWC (h, w, c) vs NCHW;
+  * train side: the inside-anchor mask, and the fg IoU band.
+
+Probes reuse the lru-cached fixtures of the main cross-impl tests, so
+each one costs a single extra numpy stage, not a full re-forward.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tests import cross_impl_reference as ref
+from tests import cross_impl_train_reference as tref
+from tests.test_cross_impl import _fixture as _inf_fixture
+from tests.test_cross_impl_train import (B, _derive_uniforms, _fixture as
+                                         _train_fixture, _geom,
+                                         _sampling_rng)
+from trcnn.models.faster_rcnn import postprocess  # noqa: F401 (parity import)
+from trcnn.targets.anchor_targets import anchor_targets
+
+pytestmark = pytest.mark.fast
+
+F32 = np.float32
+
+
+def _graph_rpn(cfg, model, params, images):
+    feat = model.apply(params, jnp.asarray(images), method="features")
+    return np.asarray(feat), model.apply(params, feat, method="rpn_out")
+
+
+def _proposal_kwargs(cfg):
+    return dict(stride=cfg.anchors.feat_stride,
+                base=ref.base_anchors(cfg.anchors.base_size,
+                                      cfg.anchors.ratios,
+                                      cfg.anchors.scales),
+                pre_k=cfg.proposals.pre_nms_topk_test,
+                post_k=cfg.proposals.post_nms_topk_test,
+                nms_thresh=cfg.proposals.nms_thresh,
+                min_size=cfg.proposals.min_size)
+
+
+# --------------------------------------------------------------------------
+# inference-side probes
+# --------------------------------------------------------------------------
+
+
+def test_mutation_rpn_channel_layout_flip_detected():
+    """Reading rpn_cls_score as (anchor major, bg/fg minor) instead of the
+    Caffe (bg/fg major, anchor minor) must blow up the fg-prob agreement
+    that test_backbone_and_rpn_numerics pins at 1e-5."""
+    cfg, model, params, images, im_info = _inf_fixture()
+    feat, rpn_j = _graph_rpn(cfg, model, params, images)
+
+    a = cfg.anchors.num_anchors
+    p = params["params"]["rpn"]
+    h = ref.relu(ref.conv2d_same(feat[0],
+                                 np.asarray(p["rpn_conv"]["kernel"], F32),
+                                 np.asarray(p["rpn_conv"]["bias"], F32)))
+    scores = ref.conv2d_same(h, np.asarray(p["rpn_cls_score"]["kernel"], F32),
+                             np.asarray(p["rpn_cls_score"]["bias"], F32))
+    fh, fw, _ = scores.shape
+    # THE MUTATION: anchor-major / bg-fg-minor channel grouping
+    fg_mut = ref.softmax(scores.reshape(fh, fw, a, 2), axis=3)[:, :, :, 1]
+
+    err = np.abs(fg_mut - np.asarray(rpn_j.fg_probs)[0]).max()
+    assert err > 0.05, (
+        f"harness has no teeth: channel-layout flip only moved fg probs by "
+        f"{err} (the un-mutated contract agrees at <1e-5)")
+
+
+def test_mutation_anchor_order_flip_detected():
+    """Anchor-major / grid-minor enumeration must change the proposal
+    layer's keep decisions (test_proposal_stage_discrete_exact requires
+    the valid masks EXACTLY equal)."""
+    cfg, model, params, images, im_info = _inf_fixture()
+    feat, rpn_j = _graph_rpn(cfg, model, params, images)
+    fg = np.asarray(rpn_j.fg_probs)[0]
+    dl = np.asarray(rpn_j.deltas)[0]
+    ih, iw, sc = (float(x) for x in im_info[0])
+
+    def all_anchors_mut(fh, fw, stride, base):
+        # THE MUTATION: anchor OUTER, grid position inner
+        out = np.empty((fh * fw * base.shape[0], 4), F32)
+        i = 0
+        for a_ in range(base.shape[0]):
+            for y in range(fh):
+                for x in range(fw):
+                    out[i] = base[a_] + np.asarray(
+                        [x * stride, y * stride, x * stride, y * stride], F32)
+                    i += 1
+        return out
+
+    baseline_rois, baseline_valid = ref.proposal_forward(
+        fg, dl, ih, iw, sc, **_proposal_kwargs(cfg))
+    orig = ref.all_anchors
+    ref.all_anchors = all_anchors_mut
+    try:
+        rois_mut, valid_mut = ref.proposal_forward(
+            fg, dl, ih, iw, sc, **_proposal_kwargs(cfg))
+    finally:
+        ref.all_anchors = orig
+
+    assert (valid_mut.sum() != baseline_valid.sum()
+            or np.abs(rois_mut - baseline_rois).max() > 1.0), (
+        "harness has no teeth: anchor-order flip left the proposal set "
+        "unchanged")
+
+
+def test_mutation_plus_one_convention_drop_detected():
+    """Decoding without the +1 pixel convention must move proposal boxes by
+    an order-1 amount (the un-mutated stage agrees at 2e-3 px)."""
+    cfg, model, params, images, im_info = _inf_fixture()
+    feat, rpn_j = _graph_rpn(cfg, model, params, images)
+    fg = np.asarray(rpn_j.fg_probs)[0]
+    dl = np.asarray(rpn_j.deltas)[0]
+    ih, iw, sc = (float(x) for x in im_info[0])
+
+    def decode_mut(boxes, deltas):
+        # THE MUTATION: w = x2 - x1 (no +1), centers at x1 + 0.5 w
+        boxes = boxes.astype(F32)
+        d = deltas.astype(F32).reshape(deltas.shape[0], -1, 4)
+        w = boxes[:, 2] - boxes[:, 0]
+        h = boxes[:, 3] - boxes[:, 1]
+        cx = boxes[:, 0] + F32(0.5) * w
+        cy = boxes[:, 1] + F32(0.5) * h
+        dw = np.minimum(d[:, :, 2], ref.DELTA_CLIP)
+        dh = np.minimum(d[:, :, 3], ref.DELTA_CLIP)
+        pcx = d[:, :, 0] * w[:, None] + cx[:, None]
+        pcy = d[:, :, 1] * h[:, None] + cy[:, None]
+        pw = np.exp(dw) * w[:, None]
+        ph = np.exp(dh) * h[:, None]
+        out = np.stack([pcx - F32(0.5) * pw, pcy - F32(0.5) * ph,
+                        pcx + F32(0.5) * pw, pcy + F32(0.5) * ph], -1)
+        return out.reshape(deltas.shape).astype(F32)
+
+    baseline_rois, baseline_valid = ref.proposal_forward(
+        fg, dl, ih, iw, sc, **_proposal_kwargs(cfg))
+    orig = ref.decode_boxes
+    ref.decode_boxes = decode_mut
+    try:
+        rois_mut, valid_mut = ref.proposal_forward(
+            fg, dl, ih, iw, sc, **_proposal_kwargs(cfg))
+    finally:
+        ref.decode_boxes = orig
+
+    moved = np.abs(rois_mut[valid_mut & baseline_valid]
+                   - baseline_rois[valid_mut & baseline_valid]).max()
+    assert moved > 0.3 or (valid_mut != baseline_valid).any(), (
+        f"harness has no teeth: dropping the +1 convention moved boxes by "
+        f"only {moved} px (stage tolerance is 2e-3 px)")
+
+
+def test_mutation_nms_iou_convention_detected():
+    """Greedy NMS with +0-convention areas computes different overlaps and
+    must change the keep set (the stage requires EXACT equality)."""
+    cfg, model, params, images, im_info = _inf_fixture()
+    feat, rpn_j = _graph_rpn(cfg, model, params, images)
+    fg = np.asarray(rpn_j.fg_probs)[0]
+    dl = np.asarray(rpn_j.deltas)[0]
+    ih, iw, sc = (float(x) for x in im_info[0])
+
+    def nms_mut(boxes, scores, thresh):
+        # independent greedy NMS, MUTATED to the +0 area convention
+        order = np.argsort(-scores, kind="stable")
+        keep = []
+        suppressed = np.zeros(len(boxes), bool)
+        for i in order:
+            if suppressed[i]:
+                continue
+            keep.append(i)
+            bi = boxes[i]
+            for j in order:
+                if suppressed[j] or j == i:
+                    continue
+                bj = boxes[j]
+                xx1, yy1 = max(bi[0], bj[0]), max(bi[1], bj[1])
+                xx2, yy2 = min(bi[2], bj[2]), min(bi[3], bj[3])
+                inter = max(xx2 - xx1, 0.0) * max(yy2 - yy1, 0.0)
+                ai = (bi[2] - bi[0]) * (bi[3] - bi[1])
+                aj = (bj[2] - bj[0]) * (bj[3] - bj[1])
+                if inter / max(ai + aj - inter, 1e-9) >= thresh:
+                    suppressed[j] = True
+        return np.asarray(keep, np.int64)
+
+    baseline_rois, baseline_valid = ref.proposal_forward(
+        fg, dl, ih, iw, sc, **_proposal_kwargs(cfg))
+    orig = ref.nms_oracle_numpy
+    ref.nms_oracle_numpy = nms_mut
+    try:
+        rois_mut, valid_mut = ref.proposal_forward(
+            fg, dl, ih, iw, sc, **_proposal_kwargs(cfg))
+    finally:
+        ref.nms_oracle_numpy = orig
+
+    assert (valid_mut.sum() != baseline_valid.sum()
+            or np.abs(rois_mut - baseline_rois).max() > 1.0), (
+        "harness has no teeth: the +0 IoU convention produced an identical "
+        "NMS keep set")
+
+
+def test_mutation_fc6_flatten_order_flip_detected():
+    """Flattening pooled features NCHW instead of NHWC before fc6 must blow
+    up the head probabilities (test_roi_head_numerics pins them at 1e-4)."""
+    import functools
+    cfg, model, params, images, im_info = _inf_fixture()
+    raw = jax.jit(functools.partial(model.apply, method="detect"))(
+        params, jnp.asarray(images), jnp.asarray(im_info))
+    feat = np.asarray(model.apply(params, jnp.asarray(images),
+                                  method="features"))
+    pooled = ref.roi_max_pool_oracle_numpy(
+        feat[0], np.asarray(raw.rois)[0], out_size=cfg.roi.output_size,
+        spatial_scale=cfg.roi.spatial_scale)
+
+    p = params["params"]["head"]
+    # THE MUTATION: (c, h, w) flatten order
+    y = pooled.transpose(0, 3, 1, 2).reshape(pooled.shape[0], -1).astype(F32)
+    y = ref.relu(y @ np.asarray(p["fc6"]["kernel"], F32)
+                 + np.asarray(p["fc6"]["bias"], F32))
+    y = ref.relu(y @ np.asarray(p["fc7"]["kernel"], F32)
+                 + np.asarray(p["fc7"]["bias"], F32))
+    cls_mut = y @ np.asarray(p["cls_score"]["kernel"], F32) \
+        + np.asarray(p["cls_score"]["bias"], F32)
+    prob_mut = ref.softmax(cls_mut, axis=-1)
+
+    err = np.abs(prob_mut - np.asarray(raw.cls_prob)[0]).max()
+    assert err > 0.05, (
+        f"harness has no teeth: fc6 flatten-order flip only moved class "
+        f"probs by {err} (stage tolerance is 1e-4)")
+
+
+# --------------------------------------------------------------------------
+# train-side probes
+# --------------------------------------------------------------------------
+
+
+def _train_anchor_stage(mutated_kwargs):
+    """Run the anchor-target cross-check of image 0 with reference kwargs
+    MUTATED; return (labels_equal, num_fg_equal)."""
+    from tests.cross_impl_reference import all_anchors, base_anchors
+    cfg, model, params, images, im_info, (gtb, gtl, gtv) = _train_fixture()
+    fh, fw, n, n_cand = _geom(cfg)
+    anchors = all_anchors(fh, fw, cfg.anchors.feat_stride,
+                          base_anchors(cfg.anchors.base_size,
+                                       cfg.anchors.ratios,
+                                       cfg.anchors.scales))
+    sampling = _sampling_rng(model, params, jax.random.PRNGKey(11))
+    rngs_at, _, uniforms = _derive_uniforms(sampling, B, n, n_cand)
+
+    i = 0
+    at = anchor_targets(rngs_at[i], jnp.asarray(anchors),
+                        jnp.asarray(gtb[i]), jnp.asarray(gtv[i]),
+                        im_info[i][0], im_info[i][1],
+                        cfg=cfg.anchor_targets)
+    kwargs = dict(allowed_border=cfg.anchor_targets.allowed_border,
+                  pos_iou=cfg.anchor_targets.positive_iou,
+                  neg_iou=cfg.anchor_targets.negative_iou,
+                  batch=cfg.anchor_targets.batch_size,
+                  fg_fraction=cfg.anchor_targets.fg_fraction)
+    kwargs.update(mutated_kwargs)
+    labels_n, _, num_ex_n, num_fg_n = tref.anchor_targets_ref(
+        uniforms[i]["at_fg"], uniforms[i]["at_bg"], anchors,
+        gtb[i], gtv[i], float(im_info[i][0]), float(im_info[i][1]), **kwargs)
+    return (np.array_equal(labels_n, np.asarray(at.labels)),
+            num_fg_n == int(at.num_fg), num_ex_n == int(at.num_examples))
+
+
+def test_mutation_inside_anchor_mask_drop_detected():
+    """Admitting anchors that cross the image border (allowed_border=1e9)
+    must change the sampled label field the exact-equality check pins."""
+    labels_eq, fg_eq, ex_eq = _train_anchor_stage(
+        {"allowed_border": 1e9})
+    assert not (labels_eq and fg_eq and ex_eq), (
+        "harness has no teeth: dropping the inside-anchor mask left "
+        "labels, num_fg, and num_examples all unchanged")
+
+
+def test_mutation_fg_iou_band_flip_detected():
+    """Lowering the positive-IoU band 0.7 -> 0.45 must change fg labels."""
+    labels_eq, fg_eq, ex_eq = _train_anchor_stage({"pos_iou": 0.45})
+    assert not (labels_eq and fg_eq), (
+        "harness has no teeth: flipping the fg IoU band left the sampled "
+        "labels unchanged")
