@@ -39,6 +39,8 @@ def main() -> int:
     ap.add_argument("--h", type=int, default=38)
     ap.add_argument("--w", type=int, default=64)
     ap.add_argument("--c", type=int, default=512)
+    ap.add_argument("--out_size", type=int, default=7)
+    ap.add_argument("--spatial_scale", type=float, default=1.0 / 16.0)
     ap.add_argument("--inner", type=int, default=10)
     ap.add_argument("--iters", type=int, default=15)
     ap.add_argument("--variants", nargs="+",
@@ -126,17 +128,22 @@ def main() -> int:
                     dfeat_ref[0, pl.ds(hs_c, mbh), :, :] = (
                         cur + dband_ref[...])
 
+    out_size, sscale = args.out_size, args.spatial_scale
+
     def backward(feat, rois, pooled, g, variant):
         b, h, w, c = feat.shape
         r = rois.shape[1]
-        mbh = max_bin_extent(h, 7)
+        mbh = max_bin_extent(h, out_size)
         bounds = jax.vmap(
-            lambda rr: roi_bin_bounds(rr, 1 / 16.0, 7, h, w))(rois)
+            lambda rr: roi_bin_bounds(rr, sscale, out_size, h, w))(rois)
         hs, he, ws, we = (x.astype(jnp.int32).reshape(-1) for x in bounds)
         packed = hs | (he << 8) | (ws << 16) | (we << 24)
         cblock = c if c % 256 or c <= 256 else 256
         ncb = c // cblock
-        rpp = 8
+        # same divisor selection as the shipping kernel — a --rois value
+        # not divisible by 8 would otherwise silently drop remainder RoIs
+        # from the grid (ADVICE r4)
+        rpp = next(g_ for g_ in rpp_mod._RPP_CANDIDATES if r % g_ == 0)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(b, ncb, r // rpp),
@@ -144,10 +151,10 @@ def main() -> int:
                 pl.BlockSpec((1, h, w, cblock),
                              lambda bb, cc, rr, *_: (bb, 0, 0, cc),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, rpp, 7, 7, cblock),
+                pl.BlockSpec((1, rpp, out_size, out_size, cblock),
                              lambda bb, cc, rr, *_: (bb, rr, 0, 0, cc),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, rpp, 7, 7, cblock),
+                pl.BlockSpec((1, rpp, out_size, out_size, cblock),
                              lambda bb, cc, rr, *_: (bb, rr, 0, 0, cc),
                              memory_space=pltpu.VMEM),
             ],
@@ -156,8 +163,9 @@ def main() -> int:
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[pltpu.VMEM((mbh, w, cblock), jnp.float32)],
         )
-        mbw = rpp_mod._stage_b_window(w, 7)
-        kern = functools.partial(kern_variant, out_size=7, mbh=mbh, mbw=mbw,
+        mbw = rpp_mod._stage_b_window(w, out_size)
+        kern = functools.partial(kern_variant, out_size=out_size,
+                                 mbh=mbh, mbw=mbw,
                                  feat_h=h, feat_w=w, feat_c=cblock,
                                  num_rois=r, rois_per_program=rpp,
                                  variant=variant)
@@ -175,17 +183,21 @@ def main() -> int:
     x2 = np.minimum(x1 + rng.uniform(16, 400, x1.shape), 999)
     y2 = np.minimum(y1 + rng.uniform(16, 300, x1.shape), 599)
     rois = jnp.asarray(np.stack([x1, y1, x2, y2], -1).astype(np.float32))
-    pooled = rpp_mod.roi_max_pool_pallas(feat, rois, 7, 1 / 16.0, False,
-                                         False)
+    pooled = rpp_mod.roi_max_pool_pallas(feat, rois, out_size, sscale,
+                                         False, False)
     g = jnp.asarray(rng.randn(*pooled.shape).astype(np.float32)
                     ).astype(pooled.dtype)
 
     ref = None
     for variant in args.variants:
         @jax.jit
-        def run(f, r, variant=variant):
+        def run(f, r, p, gg, variant=variant):
+            # pooled/g ride as jit ARGUMENTS, not closure constants — a
+            # constant-embedded operand can get different layout/folding
+            # treatment than the donated runtime operands the production
+            # backward sees (ADVICE r4)
             def body(carry, _):
-                df = backward(f + carry.astype(f.dtype), r, pooled, g,
+                df = backward(f + carry.astype(f.dtype), r, p, gg,
                               variant)
                 return jnp.float32(df[0, 0, 0, 0]) * 1e-30, None
             carry, _ = lax.scan(body, jnp.float32(0), None,
@@ -196,11 +208,11 @@ def main() -> int:
             # is its own multi-minute uncached executable via the tunnel
             # (semantics of candidate variants are checked in interpret
             # mode by the kernel's unit tests once promoted)
-            float(np.asarray(run(feat, rois)).reshape(-1)[0])
+            float(np.asarray(run(feat, rois, pooled, g)).reshape(-1)[0])
             ts = []
             for _ in range(args.iters):
                 t0 = time.perf_counter()
-                float(np.asarray(run(feat, rois)).reshape(-1)[0])
+                float(np.asarray(run(feat, rois, pooled, g)).reshape(-1)[0])
                 ts.append(time.perf_counter() - t0)
             ms = float(np.median(ts)) * 1e3 / args.inner
             print(f"{variant}: {ms:.3f} ms/call", flush=True)
