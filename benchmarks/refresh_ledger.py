@@ -39,6 +39,13 @@ MATRIX = {
     "detect_vgg_b8": ("bench.py", ["--batch_size", "8"]),
     "detect_vgg_b1": ("bench.py", ["--batch_size", "1", "--scan_steps", "1",
                                    "--iters", "40"]),
+    # device-only b1 latency (VERDICT r4 weak 5 / item 5): 8 back-to-back
+    # device steps per dispatch amortize the ~25 ms axon-tunnel dispatch to
+    # ~3 ms/step, so p50_step_ms here is the number that transfers to a
+    # non-tunneled deployment; the row above keeps the honest wall figure
+    "detect_vgg_b1_device": ("bench.py", ["--batch_size", "1",
+                                          "--scan_steps", "8",
+                                          "--iters", "20"]),
     "detect_r101_b8": ("bench.py", ["--batch_size", "8",
                                     "--backbone", "resnet101"]),
     "detect_coco_b4": ("bench.py", ["--batch_size", "4", "--config", "coco"]),
@@ -62,7 +69,7 @@ def run_one(key: str) -> dict:
         raise RuntimeError(f"{key} failed rc={p.returncode}")
     line = [l for l in p.stdout.strip().splitlines() if l.startswith("{")][-1]
     out = json.loads(line)
-    # p50 per-image latency rides on stderr for bench.py
+    # p50 per-image latency and compile wall ride on stderr
     for sline in p.stderr.splitlines():
         if "p50_per_img=" in sline:
             out["p50_per_img_ms"] = float(
@@ -70,6 +77,9 @@ def run_one(key: str) -> dict:
         if "p50_step=" in sline:
             out["p50_step_ms"] = float(
                 sline.split("p50_step=")[1].split("ms")[0])
+        if sline.startswith("compile: "):
+            out["compile_s"] = float(
+                sline.split("compile: ")[1].split("s")[0])
     out["wall_s"] = round(time.time() - t0, 1)
     print(f"[{key}] -> {out}", flush=True)
     return out
@@ -90,6 +100,21 @@ def run_stable(key: str, prev: dict | None) -> dict:
     out = run_one(key)
     prev_v = (prev or {}).get("value")
     v = out.get("value")
+    # compile-time tracking (VERDICT r4 weak 2: BENCH_r04 recorded a 12x
+    # compile jump — 1191.7 s vs 88.4 s r3 — that nothing watched; a
+    # same-code re-run this round measured 70.5 s, confirming an
+    # environment transient).  Compile wall is far noisier than
+    # steady-state throughput (executable caching, tunnel contention), so
+    # >3x vs the previous record warns loudly rather than re-triggering
+    # the full re-measure loop; the value is always recorded.
+    prev_c = (prev or {}).get("compile_s")
+    c = out.get("compile_s")
+    if (isinstance(prev_c, (int, float)) and isinstance(c, (int, float))
+            and prev_c > 0 and c / prev_c > 3.0):
+        print(f"[{key}] WARNING: compile {c:g}s is {c / prev_c:.1f}x the "
+              f"previous record ({prev_c:g}s) — known transient class; "
+              "investigate if it reproduces", flush=True)
+        out["compile_anomaly"] = True
     if not (isinstance(prev_v, (int, float)) and isinstance(v, (int, float))
             and prev_v > 0):
         return out
@@ -143,6 +168,10 @@ def render_baseline_table(history: list) -> str:
         ("… batch 8 (img/s)", "detect_vgg_b8", "value"),
         ("… batch 1 wall incl. tunnel dispatch (ms)",
          "detect_vgg_b1", "p50_step_ms"),
+        ("… batch 1 device-only, dispatch amortized (ms)",
+         "detect_vgg_b1_device", "p50_step_ms"),
+        ("bench.py compile wall, VGG b32 (s)", "detect_vgg_b32",
+         "compile_s"),
         ("Inference, ResNet-101-C4 b8 (img/s)", "detect_r101_b8", "value"),
         ("Inference, COCO config 800×1344, 81 cls, b4 (img/s)",
          "detect_coco_b4", "value"),
@@ -185,7 +214,8 @@ def render_arch_table(rec: dict) -> str:
         f"| VGG-16 detect, batch 8 | {fmt(rec, 'detect_vgg_b8')} img/s |",
         f"| VGG-16 detect, batch 1 | {fmt(rec, 'detect_vgg_b1')} img/s "
         f"({fmt(rec, 'detect_vgg_b1', 'p50_step_ms')} ms incl. tunnel "
-        "dispatch) |",
+        f"dispatch; {fmt(rec, 'detect_vgg_b1_device', 'p50_step_ms')} ms "
+        "device-only) |",
         f"| ResNet-101-C4 detect, batch 8 | {fmt(rec, 'detect_r101_b8')}"
         " img/s |",
         "| COCO config (800×1344, 81 classes), batch 4 | "
@@ -206,19 +236,40 @@ def splice(path: str, begin: str, end: str, body: str) -> None:
     print(f"rewrote {os.path.basename(path)}")
 
 
+# Paths whose changes cannot move a measurement: committing the refreshed
+# ledger/docs themselves (or the driver's end-of-round snapshot of notes)
+# must not re-stale the gate — that exact loop broke the r3 AND r4 ledgers
+# (measure at X, commit the tables, HEAD moves past X, check fails).
+_UNMEASURED = ("*.md", "*.json", "*.jsonl", "docs/*", "benchmarks/ledger.json",
+               ".gitignore")
+
+
+def _docs_only_since(commit: str) -> bool:
+    import fnmatch
+
+    p = subprocess.run(["git", "-C", ROOT, "diff", "--name-only",
+                        f"{commit}..HEAD"], capture_output=True, text=True)
+    if p.returncode != 0:
+        return False
+    files = [f for f in p.stdout.splitlines() if f.strip()]
+    return all(any(fnmatch.fnmatch(f, pat) for pat in _UNMEASURED)
+               for f in files)
+
+
 def check(history: list) -> int:
-    """Round-close gate (VERDICT r3 item 5): nonzero unless the last ledger
-    record was measured at the CURRENT HEAD.  The r3 ledger was left one
-    refresh behind HEAD in the round that instituted it; this makes
-    staleness loud.  Also cross-checks the driver's BENCH_r*.json when one
-    exists at the same commit (>2% drift fails)."""
+    """Round-close gate (VERDICT r3 item 5 / r4 item 1): nonzero unless the
+    last ledger record was measured at the CURRENT HEAD *or* every commit
+    since it touched only docs/ledger/notes files that cannot change a
+    measurement.  Also cross-checks the driver's BENCH_r*.json when one
+    exists at the record's commit (>2% drift fails)."""
     if not history:
         print("ledger check: FAIL — empty ledger", file=sys.stderr)
         return 1
     rec, head = history[-1], head_commit()
-    if rec["commit"] != head:
+    if rec["commit"] != head and not _docs_only_since(rec["commit"]):
         print(f"ledger check: FAIL — last record at {rec['commit']}, "
-              f"HEAD is {head}; run refresh_ledger.py", file=sys.stderr)
+              f"HEAD is {head} and the diff between them touches measured "
+              "code; run refresh_ledger.py", file=sys.stderr)
         return 1
     import glob
 
@@ -228,7 +279,7 @@ def check(history: list) -> int:
                 bench = json.load(f)
         except Exception:
             continue
-        if bench.get("commit") != head:
+        if bench.get("commit") != rec["commit"]:
             continue
         lv = rec["results"].get("detect_vgg_b32", {}).get("value")
         bv = bench.get("value")
@@ -237,7 +288,10 @@ def check(history: list) -> int:
                   f"commit reads {bv} vs ledger {lv} (>2% drift)",
                   file=sys.stderr)
             return 1
-    print(f"ledger check: ok — record '{rec['label']}' at HEAD {head}")
+    suffix = "" if rec["commit"] == head else (
+        f" (HEAD {head} differs only in docs/ledger files)")
+    print(f"ledger check: ok — record '{rec['label']}' at {rec['commit']}"
+          + suffix)
     return 0
 
 

@@ -7,7 +7,8 @@ import jax.numpy as jnp
 
 from tests.conftest import random_boxes
 from trcnn.ops.roi_align import roi_align
-from trcnn.ops.roi_pool import roi_max_pool, roi_max_pool_oracle_numpy
+from trcnn.ops.roi_pool import (roi_max_pool, roi_max_pool_oracle_numpy,
+                                roi_pool_backward_oracle_numpy)
 
 
 def test_forward_matches_oracle(rng):
@@ -70,6 +71,26 @@ def test_backward_is_argmax_scatter(rng):
         assert abs(grad[i, j, k] - num) < 1e-2, (i, j, k, grad[i, j, k], num)
     # gradient mass equals number of non-empty bins
     assert np.isclose(grad.sum(), 2 * 7 * 7 * c, atol=1e-3)
+
+
+def test_backward_matches_oracle_with_ties(rng):
+    """XLA custom-VJP backward vs the literal-loop numpy oracle on a map
+    with engineered exact ties (the single-winner contract's hard case —
+    re-pinned round 5, trcnn/ops/roi_pool.py docstring)."""
+    h, w, c = 19, 25, 6
+    feat = rng.randn(h, w, c).astype(np.float32)
+    feat[3:9, 4:15, :] = 2.0    # plateau -> many exact ties
+    feat[11:16, 2:20, :] = 6.0
+    rois = random_boxes(rng, 16, im_w=w * 16, im_h=h * 16, min_size=4)
+    g = rng.randn(rois.shape[0], 7, 7, c).astype(np.float32)
+    _, vjp = jax.vjp(lambda f: roi_max_pool(f, jnp.asarray(rois)),
+                     jnp.asarray(feat))
+    got = np.asarray(vjp(jnp.asarray(g))[0])
+    want = roi_pool_backward_oracle_numpy(feat, rois, g)
+    np.testing.assert_allclose(got, want, atol=1e-4)
+    # single-winner mass conservation: every non-empty bin's gradient
+    # lands somewhere exactly once
+    assert np.isclose(got.sum(), want.sum(), atol=1e-3)
 
 
 def test_roi_align_basic(rng):

@@ -1,7 +1,9 @@
 """Pallas RoI-pool kernel parity (interpret mode on CPU — SURVEY.md §6.2).
 
-Forward vs the numpy Caffe-f32-bin-math oracle; backward vs the XLA
-formulation's VJP (even tie-split, the jnp.max gradient semantics)."""
+Forward vs the numpy Caffe-f32-bin-math oracle; backward vs the numpy
+single-winner argmax-scatter oracle AND the XLA formulation's custom VJP
+(the reference's saved-argmax semantics — contract re-pinned in round 5,
+see trcnn/ops/roi_pool.py module docstring)."""
 
 import functools
 
@@ -9,7 +11,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from trcnn.ops.roi_pool import roi_max_pool, roi_max_pool_oracle_numpy
+from trcnn.ops.roi_pool import (roi_max_pool, roi_max_pool_oracle_numpy,
+                                roi_pool_backward_oracle_numpy)
 from trcnn.ops.roi_pool_pallas import roi_max_pool_pallas
 
 
@@ -50,28 +53,58 @@ def test_backward_matches_xla_vjp_interpret():
                                atol=1e-4)
 
 
-def test_backward_even_tie_split_interpret():
-    """Crafted tie: two cells share a bin max -> each gets g/2 (the
-    jnp.max VJP semantics both implementations follow)."""
+def test_backward_matches_numpy_oracle_interpret():
+    """Kernel gradient vs the literal-loop single-winner numpy oracle,
+    including engineered exact ties (constant blocks -> many tied cells)."""
+    feat, rois = _fixture(5, C=16, R=10)
+    # carve constant plateaus so exact ties are guaranteed in-band
+    feat[:, 4:12, 6:20, :] = 3.0
+    feat[:, 20:30, 30:50, :] = 7.0
+    g = np.random.RandomState(6).randn(
+        feat.shape[0], rois.shape[1], 7, 7, feat.shape[-1]).astype(np.float32)
+    d_pal = np.asarray(jax.vjp(
+        lambda f: roi_max_pool_pallas(f, jnp.asarray(rois), 7, 1 / 16.0, True),
+        jnp.asarray(feat))[1](jnp.asarray(g))[0])
+    for b in range(feat.shape[0]):
+        want = roi_pool_backward_oracle_numpy(feat[b], rois[b], g[b])
+        np.testing.assert_allclose(d_pal[b], want, atol=1e-4)
+
+
+def test_backward_single_winner_tie_interpret():
+    """Re-pinned contract (VERDICT r4 item 2): a tied bin max routes the
+    WHOLE gradient to one argmax cell — first maximal column, then first
+    row within it — matching the reference's saved-argmax scatter instead
+    of the old even tie-split XLA-VJP artifact."""
     feat = np.zeros((1, 38, 64, 8), np.float32)
+    # column tie: (2,2) and (2,3) share the max of bin (0,0) -> column 2
+    # wins, full mass to (2,2)
     feat[0, 2, 2, :] = 5.0
-    feat[0, 2, 3, :] = 5.0  # tie inside bin (0,0) of a 112x112 roi
-    rois = np.asarray([[[0.0, 0.0, 111.0, 111.0]]], np.float32)
-    g = np.zeros((1, 1, 7, 7, 8), np.float32)
-    g[0, 0, 0, 2] = 2.0  # bin (0,2) covers cols 2..3 at rows 0..1? ensure hit
-    # place gradient on the bin containing (2,2)/(2,3): roi 112px/16 = 7
-    # cells; bins are 1x1 cells -> bin (2,2) and (2,3) each hold one cell,
-    # so use a wider roi instead:
+    feat[0, 2, 3, :] = 5.0
     rois = np.asarray([[[0.0, 0.0, 1015.0, 599.0]]], np.float32)
     g = np.zeros((1, 1, 7, 7, 8), np.float32)
-    g[0, 0, 0, 0] = 2.0  # bin (0,0) spans rows 0..5, cols 0..9 -> both cells
-    d = jax.vjp(
+    g[0, 0, 0, 0] = 2.0  # bin (0,0) spans rows 0..5, cols 0..9
+    d = np.asarray(jax.vjp(
         lambda f: roi_max_pool_pallas(f, jnp.asarray(rois), 7, 1 / 16.0, True),
-        jnp.asarray(feat))[1](jnp.asarray(g))[0]
-    d = np.asarray(d)
-    np.testing.assert_allclose(d[0, 2, 2], 1.0)
-    np.testing.assert_allclose(d[0, 2, 3], 1.0)
-    assert np.abs(d).sum() == np.abs(d[0, 2, 2:4]).sum()
+        jnp.asarray(feat))[1](jnp.asarray(g))[0])
+    np.testing.assert_allclose(d[0, 2, 2], 2.0)
+    np.testing.assert_allclose(d[0, 2, 3], 0.0)
+    assert np.abs(d).sum() == np.abs(d[0, 2, 2]).sum()
+
+    # row tie within one column: (2,2) vs (4,2) -> first row (2) wins
+    feat2 = np.zeros((1, 38, 64, 8), np.float32)
+    feat2[0, 2, 2, :] = 5.0
+    feat2[0, 4, 2, :] = 5.0
+    d2 = np.asarray(jax.vjp(
+        lambda f: roi_max_pool_pallas(f, jnp.asarray(rois), 7, 1 / 16.0, True),
+        jnp.asarray(feat2))[1](jnp.asarray(g))[0])
+    np.testing.assert_allclose(d2[0, 2, 2], 2.0)
+    np.testing.assert_allclose(d2[0, 4, 2], 0.0)
+    # XLA formulation agrees bit-for-bit on both tie cases
+    for f_, d_ in ((feat, d), (feat2, d2)):
+        d_xla = np.asarray(jax.vjp(
+            lambda f: roi_max_pool(f[0], jnp.asarray(rois[0])),
+            jnp.asarray(f_))[1](jnp.asarray(g[0]))[0])
+        np.testing.assert_allclose(d_[0], d_xla[0], atol=0)
 
 
 def test_forward_portrait_canvas_interpret():

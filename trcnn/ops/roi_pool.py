@@ -14,6 +14,21 @@ Bin-boundary math matches the Caffe ROIPooling lineage:
   bin [p]   = [floor(p * roi_size/out), ceil((p+1) * roi_size/out))
   empty bins output 0.
 
+Backward contract (single-winner argmax scatter): each non-empty bin
+routes its WHOLE upstream gradient to exactly ONE argmax cell per channel
+— the reference's saved-argmax backward (Chainer ``roi_pooling_2d`` /
+Caffe ROIPoolBackward scatter grads via the argmax recorded in forward;
+SURVEY.md §3.3, §4.2).  Winner among exact-value ties (real at ReLU
+zeros): the argmax cell minimizing the column-major key ``x*H + y`` —
+i.e. first maximal column, then first maximal row within it.  (Caffe's
+CUDA kernel keeps the row-major-first cell instead; both rules route the
+full gradient to a single argmax cell and agree whenever the bin max is
+unique, which is the numerically meaningful contract.  Column-major is
+what the TPU kernel's rows-then-columns two-stage reduction yields
+natively.)  Through round 4 the backward used the even tie-SPLIT of the
+XLA ``reduce_max`` VJP; VERDICT r4 re-pinned the contract to the
+reference's saved-argmax semantics.
+
 A VMEM-resident Pallas kernel for the TPU hot path lives in
 trcnn/ops/roi_pool_pallas.py; this module is the spec and the CPU-safe
 fallback (BASELINE.json config 1 requires a CPU-runnable single-image path).
@@ -102,6 +117,11 @@ def max_bin_extent(feat_dim: int, out_size: int) -> int:
     return int(-(-feat_dim // out_size)) + 1
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _roi_max_pool_cv(feat, rois, out_size, spatial_scale):
+    return _roi_max_pool_impl(feat, rois, out_size, spatial_scale)
+
+
 @functools.partial(jax.jit, static_argnames=("out_size", "spatial_scale"))
 def roi_max_pool(
     feat: jnp.ndarray,
@@ -121,7 +141,14 @@ def roi_max_pool(
       (R, out_size, out_size, C) pooled features.  Empty bins are 0, matching
       the Caffe kernel.  Invalid/padding rois simply produce values that the
       caller masks downstream.
+
+    Backward: single-winner argmax scatter (module docstring) via a custom
+    VJP — every backend and formulation shares the one contract.
     """
+    return _roi_max_pool_cv(feat, rois, out_size, spatial_scale)
+
+
+def _roi_max_pool_impl(feat, rois, out_size, spatial_scale):
     h, w, c = feat.shape
     r = rois.shape[0]
     hstart, hend, wstart, wend = roi_bin_bounds(rois, spatial_scale, out_size, h, w)
@@ -152,6 +179,75 @@ def roi_max_pool(
             rows.append(jnp.where(empty[:, None], 0.0, binmax))
         cols.append(jnp.stack(rows, axis=1))                # (R, out, C)
     return jnp.stack(cols, axis=1)                          # (R, out, out, C)
+
+
+def roi_pool_backward_xla(
+    feat: jnp.ndarray,
+    rois: jnp.ndarray,
+    g: jnp.ndarray,
+    out_size: int = 7,
+    spatial_scale: float = 1.0 / 16.0,
+) -> jnp.ndarray:
+    """Single-winner argmax-scatter backward, portable XLA formulation.
+
+    feat (H, W, C), rois (R, 4), g (R, out, out, C) → dfeat (H, W, C).
+    Winner = the argmax cell of each bin minimizing the column-major key
+    ``x*H + y`` (module docstring).  Serves as the custom VJP of
+    ``roi_max_pool`` (CPU path, and the f32-COCO canvas where the Pallas
+    kernel's table block overflows scoped VMEM).
+    """
+    h, w, c = feat.shape
+    r = rois.shape[0]
+    hstart, hend, wstart, wend = roi_bin_bounds(
+        rois, spatial_scale, out_size, h, w)
+    mbh = max_bin_extent(h, out_size)
+    mbw = max_bin_extent(w, out_size)
+    flat = feat.reshape(h * w, c).astype(jnp.float32)
+    dh = jnp.arange(mbh, dtype=jnp.int32)
+    dw = jnp.arange(mbw, dtype=jnp.int32)
+    big = jnp.int32(h * w + 1)
+
+    dflat = jnp.zeros((h * w, c), jnp.float32)
+    for ph in range(out_size):
+        h_idx = hstart[:, ph, None] + dh[None, :]            # (R, MBH)
+        h_ok = h_idx < hend[:, ph, None]
+        h_idx = jnp.clip(h_idx, 0, h - 1)
+        for pw in range(out_size):
+            w_idx = wstart[:, pw, None] + dw[None, :]        # (R, MBW)
+            w_ok = w_idx < wend[:, pw, None]
+            w_idx = jnp.clip(w_idx, 0, w - 1)
+            lin = h_idx[:, :, None] * w + w_idx[:, None, :]  # (R, MBH, MBW)
+            vals = flat[lin.reshape(r, -1)]                  # (R, M, C)
+            ok = (h_ok[:, :, None] & w_ok[:, None, :]).reshape(r, -1)
+            vals = jnp.where(ok[..., None], vals, _NEG_INF)
+            binmax = jnp.max(vals, axis=1, keepdims=True)    # (R, 1, C)
+            key = (w_idx[:, None, :] * h
+                   + h_idx[:, :, None]).reshape(r, -1)       # column-major
+            hit = ok[..., None] & (vals == binmax)
+            keyc = jnp.where(hit, key[..., None], big)       # (R, M, C)
+            kmin = jnp.min(keyc, axis=1, keepdims=True)
+            # hit guard: empty bins have kmin == big everywhere
+            winner = (keyc == kmin) & hit
+            contrib = jnp.where(winner,
+                                g[:, ph, pw, :].astype(jnp.float32)[:, None],
+                                0.0)
+            dflat = dflat.at[lin.reshape(-1)].add(
+                contrib.reshape(-1, c), mode="drop")
+    return dflat.reshape(h, w, c).astype(feat.dtype)
+
+
+def _roi_max_pool_fwd(feat, rois, out_size, spatial_scale):
+    return _roi_max_pool_impl(feat, rois, out_size, spatial_scale), (feat,
+                                                                     rois)
+
+
+def _roi_max_pool_bwd(out_size, spatial_scale, res, g):
+    feat, rois = res
+    dfeat = roi_pool_backward_xla(feat, rois, g, out_size, spatial_scale)
+    return dfeat, jnp.zeros_like(rois)
+
+
+_roi_max_pool_cv.defvjp(_roi_max_pool_fwd, _roi_max_pool_bwd)
 
 
 def roi_max_pool_batched(feat: jnp.ndarray, rois: jnp.ndarray,
@@ -201,3 +297,52 @@ def roi_max_pool_oracle_numpy(feat, rois, out_size=7, spatial_scale=1.0 / 16.0):
                     continue
                 out[i, ph, pw] = feat[hs:he, ws:we].reshape(-1, c).max(axis=0)
     return out
+
+
+def roi_pool_backward_oracle_numpy(feat, rois, g, out_size=7,
+                                   spatial_scale=1.0 / 16.0):
+    """Literal-loop numpy oracle of the single-winner argmax-scatter
+    backward (test use).  Same bin arithmetic as the forward oracle; each
+    non-empty bin routes g[bin, c] entirely to the argmax cell minimizing
+    the column-major key x*H + y (module docstring)."""
+    import math
+
+    feat = np.asarray(feat, dtype=np.float32)
+    rois = np.asarray(rois, dtype=np.float64)
+    g = np.asarray(g, dtype=np.float32)
+    h, w, c = feat.shape
+    r = rois.shape[0]
+    dfeat = np.zeros((h, w, c), dtype=np.float32)
+
+    def rnd(x):
+        return math.floor(abs(x) + 0.5) * (1 if x >= 0 else -1)
+
+    f32 = np.float32
+    for i in range(r):
+        sw, sh = rnd(rois[i, 0] * spatial_scale), rnd(rois[i, 1] * spatial_scale)
+        ew, eh = rnd(rois[i, 2] * spatial_scale), rnd(rois[i, 3] * spatial_scale)
+        rw = max(ew - sw + 1, 1)
+        rh = max(eh - sh + 1, 1)
+        bw = f32(rw) / f32(out_size)
+        bh = f32(rh) / f32(out_size)
+        for ph in range(out_size):
+            for pw in range(out_size):
+                hs = min(max(int(math.floor(f32(ph) * bh)) + sh, 0), h)
+                he = min(max(int(math.ceil(f32(ph + 1) * bh)) + sh, 0), h)
+                ws = min(max(int(math.floor(f32(pw) * bw)) + sw, 0), w)
+                we = min(max(int(math.ceil(f32(pw + 1) * bw)) + sw, 0), w)
+                if he <= hs or we <= ws:
+                    continue
+                window = feat[hs:he, ws:we]                  # (bh, bw, C)
+                binmax = window.reshape(-1, c).max(axis=0)
+                for ch in range(c):
+                    best = None
+                    for x in range(ws, we):                  # columns first
+                        for y in range(hs, he):
+                            if feat[y, x, ch] == binmax[ch]:
+                                best = (y, x)
+                                break
+                        if best is not None:
+                            break
+                    dfeat[best[0], best[1], ch] += g[i, ph, pw, ch]
+    return dfeat

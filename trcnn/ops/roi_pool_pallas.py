@@ -23,9 +23,12 @@ computed in XLA and passed as packed scalar-prefetch SMEM arrays.  The
 channel axis is grid-blocked when the table exceeds the VMEM budget
 (R101's 1024-channel map, COCO canvases).
 
-Backward: custom Pallas scatter kernel (even tie-split, matching the XLA
-reduce_max VJP).  Forward parity with the numpy oracle is tested in
-interpret mode (CI) and on the chip (verify skill).
+Backward: custom Pallas kernel implementing the single-winner
+argmax-scatter contract (the reference's saved-argmax backward — see
+trcnn/ops/roi_pool.py module docstring) as a rows→columns two-stage
+scatter.  Forward parity with the numpy oracle is tested in interpret
+mode (CI) and on the chip (verify skill); backward parity against the
+numpy backward oracle and the XLA formulation likewise.
 """
 
 from __future__ import annotations
@@ -287,30 +290,44 @@ def _forward(feat: jnp.ndarray, rois: jnp.ndarray, out_size: int,
 
 
 def _bwd_kernel(bounds_ref, feat_ref, pooled_ref, g_ref, dfeat_ref,
-                dband_ref, *, out_size: int, mbh: int, mbw: int,
-                feat_h: int, feat_w: int, feat_c: int, num_rois: int,
-                rois_per_program: int):
-    """Gradient scatter: dfeat[y,x,c] += g[bin,c]/|argmax set| for every
-    bin whose max the cell attains (even tie-split — matching the XLA
-    reduce_max VJP the previous backward used).  The dfeat block for image
-    b stays VMEM-resident across all R programs (same index_map) and
-    accumulates in f32.
+                rowmax_ref, rfirst_ref, drow_ref, *, out_size: int,
+                mbh: int, mbw: int, feat_h: int, feat_w: int, feat_c: int,
+                num_rois: int, rois_per_program: int):
+    """Single-winner argmax scatter (the reference's saved-argmax backward,
+    SURVEY §3.3/§4.2): dfeat[y*, x*, c] += g[bin, c] where (y*, x*) is the
+    bin's argmax cell minimizing the column-major key x*H + y (see
+    trcnn/ops/roi_pool.py module docstring for the re-pinned contract).
 
-    Per-bin work runs on an (MBH, MBW, C) column window (8-aligned dynamic
-    start, like the forward's stage B) instead of the full-width band —
-    ~3x less VPU traffic at the VGG 64-col map; this kernel was the single
-    largest op of the b8 train step (27.9 ms) in the full-width form.
+    Two-stage decomposition mirroring the forward's rows→columns split —
+    the structural fix for the 4x-off-roofline windowed even-split scatter
+    (10.75 ms/b8-train, NOTES_ROUND4 §8), which ran a full (MBH, MBW, C)
+    compare window per BIN plus a full-width band zero + band RMW per row
+    of bins:
+
+      stage A (per roi, ph — ONE band pass instead of seven windows):
+        rowmax[x, c] = max over the bin rows [hs, he) of feat[y, x, c],
+        rfirst[x, c] = FIRST such row attaining it; both over the
+        (MBH, W, C) band.
+      stage B (per bin — tiny (MBW, C) windows of the (W, C) rowmax):
+        winner column x* = first column in [ws, we) with
+        rowmax[x*] == pooled[bin]; accumulate g[bin] into drow[x*].
+      scatter (per roi, ph): dfeat[hs_c + rfirst[x], x, c] += drow[x, c]
+        — one masked band RMW.
+
+    The per-(roi, ph) cost is ~2 band passes over (MBH, W, C) vs the old
+    kernel's 7 compare windows + band zero + band RMW; the count/divide of
+    even-splitting is gone entirely.  The dfeat block for image b stays
+    VMEM-resident across all R programs (grid (B, C-blocks, R/rpp), RoIs
+    innermost) and accumulates in f32.
     """
-    # grid is (B, C-blocks, R/rpp) with RoIs innermost so the dfeat block
-    # for a given (image, channel-block) stays VMEM-resident while every
-    # RoI accumulates into it; channel blocking bounds the VMEM stack
-    # (full f32 512-channel blocks overflow the 16 MB scoped budget)
     b = pl.program_id(0)
     rg = pl.program_id(2)
+    neg = jnp.float32(-jnp.inf)
+    big = jnp.int32(1 << 20)
     sliced = mbw < feat_w
     win_w = mbw if sliced else feat_w
     col_idx = lax.broadcasted_iota(jnp.int32, (win_w, feat_c), 0)
-    band_rows = lax.broadcasted_iota(jnp.int32, (mbh, win_w, feat_c), 0)
+    band_rows = lax.broadcasted_iota(jnp.int32, (mbh, feat_w, feat_c), 0)
 
     @pl.when(rg == 0)
     def _init():
@@ -323,8 +340,21 @@ def _bwd_kernel(bounds_ref, feat_ref, pooled_ref, g_ref, dfeat_ref,
             hs = packed_h & 0xFF
             he = (packed_h >> 8) & 0xFF
             hs_c = jnp.clip(hs, 0, max(feat_h - mbh, 0))
+            # stage A: rowmax + first-attaining row over the band.
+            # f32 compare: a native-bf16 compare would be cheaper but its
+            # i1 vector layout fails Mosaic relayout (sub-32-bit
+            # limitation, environment gotcha #5)
+            band = feat_ref[0, pl.ds(hs_c, mbh), :, :].astype(jnp.float32)
             rmask = (band_rows + hs_c >= hs) & (band_rows + hs_c < he)
-            dband_ref[...] = jnp.zeros_like(dband_ref)
+            masked = jnp.where(rmask, band, neg)
+            rm = jnp.max(masked, axis=0)                      # (W, C)
+            # all-masked columns (empty row range) match every row here;
+            # harmless — stage B never routes gradient to them (their
+            # rowmax is -inf, pooled is 0)
+            rid = jnp.where(masked == rm[None], band_rows, big)
+            rowmax_ref[...] = rm
+            rfirst_ref[...] = jnp.min(rid, axis=0)            # (W, C)
+            drow_ref[...] = jnp.zeros_like(drow_ref)
             for pw in range(out_size):
                 packed_w = bounds_ref[base + pw]
                 ws = (packed_w >> 16) & 0xFF
@@ -335,22 +365,24 @@ def _bwd_kernel(bounds_ref, feat_ref, pooled_ref, g_ref, dfeat_ref,
                 else:
                     ws_c = 0
                     ws_a = 0
-                # f32 compare: a native-bf16 compare would be cheaper but
-                # its i1 vector layout fails Mosaic relayout (sub-32-bit
-                # limitation, environment gotcha #5)
-                win = feat_ref[0, pl.ds(hs_c, mbh),
-                               pl.ds(ws_a, win_w), :].astype(jnp.float32)
+                win_rm = rowmax_ref[pl.ds(ws_a, win_w), :]    # (MBW, C)
                 binmax = pooled_ref[0, j, ph, pw, :].astype(jnp.float32)
                 gbin = g_ref[0, j, ph, pw, :].astype(jnp.float32)
                 cmask = (col_idx + ws_c >= ws) & (col_idx + ws_c < we)
-                hit = rmask & cmask[None] & (win == binmax)
-                eq_f = jnp.where(hit, 1.0, 0.0)
-                count = jnp.sum(eq_f, axis=(0, 1))            # (C,)
-                scale = gbin / jnp.maximum(count, 1.0)
-                cur = dband_ref[:, pl.ds(ws_a, win_w), :]
-                dband_ref[:, pl.ds(ws_a, win_w), :] = cur + eq_f * scale
+                hit = cmask & (win_rm == binmax)
+                cid = jnp.where(hit, col_idx + ws_c, big)
+                cmin = jnp.min(cid, axis=0)                   # (C,)
+                # empty/invalid bins: no hit -> cmin == big -> no winner
+                winner = (col_idx + ws_c) == cmin
+                cur = drow_ref[pl.ds(ws_a, win_w), :]
+                drow_ref[pl.ds(ws_a, win_w), :] = cur + jnp.where(
+                    winner, gbin, 0.0)
+            # scatter: route each column's accumulated gradient to its
+            # first-max row (drow is zero outside winner columns)
+            eq_r = band_rows == rfirst_ref[...][None]
             cur = dfeat_ref[0, pl.ds(hs_c, mbh), :, :]
-            dfeat_ref[0, pl.ds(hs_c, mbh), :, :] = cur + dband_ref[...]
+            dfeat_ref[0, pl.ds(hs_c, mbh), :, :] = cur + jnp.where(
+                eq_r, drow_ref[...][None], 0.0)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
@@ -406,7 +438,9 @@ def _backward_pallas(feat, rois, pooled, g, out_size, spatial_scale,
         out_specs=pl.BlockSpec((1, h, w, cblock),
                                lambda bb, cc, rr, *_: (bb, 0, 0, cc),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((mbh, w, cblock), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((w, cblock), jnp.float32),   # rowmax
+                        pltpu.VMEM((w, cblock), jnp.int32),     # rfirst
+                        pltpu.VMEM((w, cblock), jnp.float32)],  # drow
     )
     mbw = _stage_b_window(w, out_size)
     kern = functools.partial(_bwd_kernel, out_size=out_size, mbh=mbh,
@@ -433,12 +467,13 @@ def _bwd(out_size, spatial_scale, interpret, flat_out, res, g):
         pooled = unflatten_pooled(pooled, b, r, out_size, c, groups)
         g = unflatten_pooled(g, b, r, out_size, c, groups)
     if jax.default_backend() == "cpu" and not interpret:
-        # CPU fallback: differentiate the XLA formulation (same forward
-        # semantics ⇒ same even-tie-split gradient)
-        xla = jax.vmap(functools.partial(
-            roi_max_pool, out_size=out_size, spatial_scale=spatial_scale))
-        _, vjp = jax.vjp(lambda f: xla(f, rois).astype(feat.dtype), feat)
-        (dfeat,) = vjp(g.astype(feat.dtype))
+        # CPU fallback: the XLA single-winner backward (the same contract
+        # roi_max_pool's custom VJP implements)
+        from trcnn.ops.roi_pool import roi_pool_backward_xla
+
+        dfeat = jax.vmap(functools.partial(
+            roi_pool_backward_xla, out_size=out_size,
+            spatial_scale=spatial_scale))(feat, rois, g.astype(jnp.float32))
     else:
         dfeat = _backward_pallas(feat, rois, pooled, g, out_size,
                                  spatial_scale, interpret)
