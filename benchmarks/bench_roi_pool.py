@@ -61,12 +61,21 @@ def main() -> int:
             g = jnp.asarray(rng.randn(*pooled.shape).astype(np.float32)
                             ).astype(pooled.dtype)
 
+            from trcnn.ops.roi_pool import max_bin_extent as _mbe
+            levels = rpp_mod._levels_for(_mbe(args.h, 7))
+
             @jax.jit
             def run(f, r):
                 def body(carry, _):
+                    # the backward consumes the forward's sliding-max
+                    # table (VJP residual); in the real train graph its
+                    # construction is CSE'd with the forward — rebuilding
+                    # it here charges the backward a few fused elementwise
+                    # maxes (conservative)
+                    tab = jax.vmap(lambda x: rpp_mod.sliding_row_max_table(
+                        x, levels))(f + carry.astype(f.dtype))
                     df = rpp_mod._backward_pallas(
-                        f + carry.astype(f.dtype), r, pooled, g,
-                        7, 1.0 / 16.0, False)
+                        tab, r, pooled, g, 7, 1.0 / 16.0, False)
                     return jnp.float32(df[0, 0, 0, 0]) * 1e-30, None
                 carry, _ = lax.scan(body, jnp.float32(0), None,
                                     length=args.inner)

@@ -35,6 +35,13 @@ def main() -> int:
                          "capacities (BASELINE config 5's training half)")
     ap.add_argument("--trace", action="store_true",
                     help="also write a profiler trace to /tmp/trcnn_train_trace")
+    ap.add_argument("--inner_steps", type=int, default=1,
+                    help=">1: run K optimizer steps per dispatch via "
+                         "lax.scan (make_train_step inner_steps) — "
+                         "isolates per-call dispatch latency from the "
+                         "device step.  The same batch is replayed K "
+                         "times (timing probe; the Trainer feeds distinct "
+                         "slices)")
     args = ap.parse_args()
 
     import jax
@@ -71,7 +78,11 @@ def main() -> int:
     params = jax.jit(model.init)(rng, images, im_info)
     tx = make_optimizer(params, cfg.optim, cfg.backbone)
     state = TrainState.create(params, tx)
-    step = make_train_step(model, tx, mesh=None)
+    k = args.inner_steps
+    step = make_train_step(model, tx, mesh=None, inner_steps=k)
+    if k > 1:
+        batch = jax.tree.map(
+            lambda x: jnp.broadcast_to(x[None], (k,) + x.shape), batch)
 
     t0 = time.time()
     state, metrics = step(state, batch, rng)
@@ -98,7 +109,7 @@ def main() -> int:
     for _ in range(args.iters):
         state, metrics = step(state, batch, rng)
     device_sync(metrics)
-    dt = (time.perf_counter() - t0) / args.iters
+    dt = (time.perf_counter() - t0) / (args.iters * k)
     print(json.dumps({
         "metric": "train_imgs_per_sec_device",
         "value": round(b / dt, 2),
@@ -106,6 +117,7 @@ def main() -> int:
         "batch_size": b,
         "backbone": args.backbone,
         "config": args.config,
+        "inner_steps": k,
         "loss": round(float(metrics["loss"]), 4),
     }))
     return 0

@@ -51,6 +51,14 @@ def main() -> int:
     cfg = voc_config()
     if args.backbone != "vgg16":
         cfg = cfg.replace(backbone=args.backbone)
+    if (args.min_size, args.max_size) != (600, 1000):
+        # rescale target only; the padded canvas bucket (and therefore the
+        # compiled graph shape) stays the config's
+        import dataclasses
+
+        cfg = cfg.replace(image=dataclasses.replace(
+            cfg.image, target_min_size=args.min_size,
+            target_max_size=args.max_size))
     if args.nms_thresh is not None:
         cfg = cfg.replace(test=cfg.test.__class__(nms_thresh=args.nms_thresh))
     score_thresh = (args.score_thresh if args.score_thresh is not None

@@ -130,6 +130,96 @@ def test_trainer_checkpoint_and_auto_resume(model_and_params, tmp_path):
     assert int(t2.state.step) == 5
 
 
+def test_train_step_inner_steps_matches_sequential(model_and_params):
+    """make_train_step(inner_steps=K) runs K optimizer steps per dispatch
+    (lax.scan) and must reproduce K sequential K=1 calls: same step
+    counter, same sampling decisions (the fold-in key is state.step on
+    both paths), params equal to numerical tolerance."""
+    cfg, model, params = model_and_params
+    cfg = cfg.replace(image=cfg.image.__class__(
+        target_min_size=60, target_max_size=96, pad_h=64, pad_w=96))
+    tx = make_optimizer(params, cfg.optim, "vgg16")
+    db = device_batch(_batch(cfg, b=2))
+    rng = jax.random.PRNGKey(3)
+
+    step1 = make_train_step(model, tx, donate=False)
+    s = TrainState.create(params, tx)
+    s, m1 = step1(s, db, rng)
+    s, m2 = step1(s, db, rng)
+
+    stepk = make_train_step(model, tx, donate=False, inner_steps=2)
+    stacked = jax.tree.map(lambda x: jnp.stack([x, x]), db)
+    sk, mk = stepk(TrainState.create(params, tx), stacked, rng)
+
+    assert int(sk.step) == int(s.step) == 2
+    # metrics are the LAST inner step's — sampling decisions must agree
+    # exactly with the second sequential step
+    assert float(mk["num_fg_rois"]) == float(m2["num_fg_rois"])
+    assert float(mk["num_fg_anchors"]) == float(m2["num_fg_anchors"])
+    np.testing.assert_allclose(float(mk["loss"]), float(m2["loss"]),
+                               rtol=1e-4)
+    d = jax.tree.map(
+        lambda a, b_: float(np.abs(np.asarray(a, np.float64)
+                                   - np.asarray(b_, np.float64)).max()),
+        sk.params, s.params)
+    assert max(jax.tree.leaves(d)) < 1e-4
+
+
+def test_sharded_restore_under_new_mesh_topology(model_and_params, tmp_path,
+                                                 monkeypatch):
+    """Restore-under-mesh drill (VERDICT r4 item 7): save from a Trainer on
+    a 4x2 (data, model) mesh, auto-resume into a Trainer on a DIFFERENT
+    2x4 topology, and require bit-equal params, correct TP shardings on
+    the new mesh, and a further step that moves them.  Orbax
+    restore-under-mesh is the classic silent-failure point of the
+    checkpoint stack — test_multihost proves the distributed *save* path;
+    this pins the sharded *restore* continuation."""
+    import trcnn.train.trainer as trainer_mod
+
+    cfg, model, params = model_and_params
+    cfg = cfg.replace(image=cfg.image.__class__(
+        target_min_size=60, target_max_size=96, pad_h=64, pad_w=96))
+    ckdir = str(tmp_path / "ckm")
+
+    def batches():
+        while True:
+            yield _batch(cfg, b=4)
+
+    monkeypatch.setattr(trainer_mod, "make_mesh",
+                        lambda: make_mesh(n_data=4, n_model=2))
+    t1 = Trainer(model, params, cfg, TrainConfig(
+        total_iters=2, log_every=10, checkpoint_every=0,
+        checkpoint_dir=ckdir, use_mesh=True))
+    assert dict(t1.mesh.shape) == {"data": 4, "model": 2}
+    t1.fit(batches())
+    assert int(t1.state.step) == 2
+    fc6_saved = np.asarray(t1.state.params["params"]["head"]["fc6"]["kernel"])
+
+    monkeypatch.setattr(trainer_mod, "make_mesh",
+                        lambda: make_mesh(n_data=2, n_model=4))
+    t2 = Trainer(model, params, cfg, TrainConfig(
+        total_iters=3, log_every=10, checkpoint_every=0,
+        checkpoint_dir=ckdir, use_mesh=True))
+    # auto-resumed at the saved step, onto the NEW mesh topology
+    assert int(t2.state.step) == 2
+    fc6 = t2.state.params["params"]["head"]["fc6"]["kernel"]
+    assert dict(fc6.sharding.mesh.shape) == {"data": 2, "model": 4}
+    assert "model" in str(fc6.sharding.spec), (
+        "fc6 must stay tensor-parallel-sharded after restore, not get "
+        "silently replicated")
+    # restore is bit-exact across the topology change
+    np.testing.assert_array_equal(np.asarray(fc6), fc6_saved)
+    # momentum state restored sharded too (opt_state mirrors param specs)
+    mom = jax.tree.leaves(t2.state.opt_state)
+    assert all(hasattr(m, "sharding") for m in mom if hasattr(m, "shape"))
+
+    t2.fit(batches())
+    assert int(t2.state.step) == 3
+    moved = float(np.abs(np.asarray(t2.state.params["params"]["head"]["fc6"]
+                                    ["kernel"]) - fc6_saved).sum())
+    assert moved > 0.0
+
+
 def test_coco_config_multiscale_train_step_81_classes():
     """BASELINE config 5's training half: an 81-class head + a MULTISCALE
     loader batch through one real gradient step (the multiscale path had

@@ -222,11 +222,13 @@ def unflatten_pooled(flat: jnp.ndarray, b: int, r: int, out_size: int,
 _RPP_CANDIDATES = (8, 4, 2, 1)
 
 
-def _forward(feat: jnp.ndarray, rois: jnp.ndarray, out_size: int,
-             spatial_scale: float, interpret: bool,
-             flat_out: bool = False) -> jnp.ndarray:
+def _prep(feat: jnp.ndarray, rois: jnp.ndarray, out_size: int,
+          spatial_scale: float):
+    """Shared forward/backward prep: packed bin bounds, packed sparse-table
+    row queries, and the batched sliding-max table.  The backward reuses
+    the table (saved as a VJP residual — its level 0 IS feat, so no extra
+    residual is kept) and recomputes the cheap scalar arrays."""
     b, h, w, c = feat.shape
-    r = rois.shape[1]
     mbh = max_bin_extent(h, out_size)
     levels = _levels_for(mbh)
 
@@ -242,6 +244,21 @@ def _forward(feat: jnp.ndarray, rois: jnp.ndarray, out_size: int,
     aux = _row_query_aux(hs, he, levels, h)
 
     table = jax.vmap(lambda f: sliding_row_max_table(f, levels))(feat)
+    return packed, aux, table, levels
+
+
+def _forward(feat: jnp.ndarray, rois: jnp.ndarray, out_size: int,
+             spatial_scale: float, interpret: bool,
+             flat_out: bool = False) -> jnp.ndarray:
+    packed, aux, table, levels = _prep(feat, rois, out_size, spatial_scale)
+    return _forward_from(packed, aux, table, levels, feat, rois, out_size,
+                         spatial_scale, interpret, flat_out)
+
+
+def _forward_from(packed, aux, table, levels, feat, rois, out_size,
+                  spatial_scale, interpret, flat_out=False) -> jnp.ndarray:
+    b, h, w, c = feat.shape
+    r = rois.shape[1]
 
     cblock = _channel_block(h, w, c, levels, feat.dtype.itemsize)
     ncb = c // cblock
@@ -289,8 +306,8 @@ def _forward(feat: jnp.ndarray, rois: jnp.ndarray, out_size: int,
     )(packed, aux, table)
 
 
-def _bwd_kernel(bounds_ref, feat_ref, pooled_ref, g_ref, dfeat_ref,
-                rowmax_ref, rfirst_ref, drow_ref, *, out_size: int,
+def _bwd_kernel(bounds_ref, aux_ref, table_ref, pooled_ref, g_ref,
+                dfeat_ref, rowmax_ref, drow_ref, *, out_size: int,
                 mbh: int, mbw: int, feat_h: int, feat_w: int, feat_c: int,
                 num_rois: int, rois_per_program: int):
     """Single-winner argmax scatter (the reference's saved-argmax backward,
@@ -298,36 +315,35 @@ def _bwd_kernel(bounds_ref, feat_ref, pooled_ref, g_ref, dfeat_ref,
     bin's argmax cell minimizing the column-major key x*H + y (see
     trcnn/ops/roi_pool.py module docstring for the re-pinned contract).
 
-    Two-stage decomposition mirroring the forward's rows→columns split —
-    the structural fix for the 4x-off-roofline windowed even-split scatter
-    (10.75 ms/b8-train, NOTES_ROUND4 §8), which ran a full (MBH, MBW, C)
-    compare window per BIN plus a full-width band zero + band RMW per row
-    of bins:
+    Consumes the forward's sliding-max TABLE (saved as a VJP residual; its
+    level 0 is feat itself), not feat — the structural fix for the
+    4x-off-roofline windowed even-split scatter (10.75 ms/b8-train,
+    NOTES_ROUND4 §8), which ran a full (MBH, MBW, C) compare window per
+    BIN plus a band zero + band RMW per row of bins:
 
-      stage A (per roi, ph — ONE band pass instead of seven windows):
-        rowmax[x, c] = max over the bin rows [hs, he) of feat[y, x, c],
-        rfirst[x, c] = FIRST such row attaining it; both over the
-        (MBH, W, C) band.
+      rowmax  (per roi, ph): the bin rows' max is TWO table-row reads —
+        the forward's own stage-A query, O(W·C) instead of a masked
+        (MBH, W, C) band reduction;
       stage B (per bin — tiny (MBW, C) windows of the (W, C) rowmax):
         winner column x* = first column in [ws, we) with
-        rowmax[x*] == pooled[bin]; accumulate g[bin] into drow[x*].
-      scatter (per roi, ph): dfeat[hs_c + rfirst[x], x, c] += drow[x, c]
-        — one masked band RMW.
+        rowmax[x*] == pooled[bin]; accumulate g[bin] into drow[x*];
+      scatter (per roi, ph): one pass over the band rows routing
+        drow[x, c] to the FIRST row attaining rowmax[x, c] — a running
+        0/1 "already seen" plane keeps first-occurrence semantics without
+        a separate argmin pass, and only hit rows pay an RMW.
 
-    The per-(roi, ph) cost is ~2 band passes over (MBH, W, C) vs the old
-    kernel's 7 compare windows + band zero + band RMW; the count/divide of
-    even-splitting is gone entirely.  The dfeat block for image b stays
+    Empty row-range bins (he <= hs, possible after clipping) are skipped
+    whole via pl.when — their pooled output is 0, and the table query
+    would otherwise alias row hs.  The dfeat block for image b stays
     VMEM-resident across all R programs (grid (B, C-blocks, R/rpp), RoIs
     innermost) and accumulates in f32.
     """
     b = pl.program_id(0)
     rg = pl.program_id(2)
-    neg = jnp.float32(-jnp.inf)
     big = jnp.int32(1 << 20)
     sliced = mbw < feat_w
     win_w = mbw if sliced else feat_w
     col_idx = lax.broadcasted_iota(jnp.int32, (win_w, feat_c), 0)
-    band_rows = lax.broadcasted_iota(jnp.int32, (mbh, feat_w, feat_c), 0)
 
     @pl.when(rg == 0)
     def _init():
@@ -339,50 +355,61 @@ def _bwd_kernel(bounds_ref, feat_ref, pooled_ref, g_ref, dfeat_ref,
             packed_h = bounds_ref[base + ph]
             hs = packed_h & 0xFF
             he = (packed_h >> 8) & 0xFF
-            hs_c = jnp.clip(hs, 0, max(feat_h - mbh, 0))
-            # stage A: rowmax + first-attaining row over the band.
-            # f32 compare: a native-bf16 compare would be cheaper but its
-            # i1 vector layout fails Mosaic relayout (sub-32-bit
-            # limitation, environment gotcha #5)
-            band = feat_ref[0, pl.ds(hs_c, mbh), :, :].astype(jnp.float32)
-            rmask = (band_rows + hs_c >= hs) & (band_rows + hs_c < he)
-            masked = jnp.where(rmask, band, neg)
-            rm = jnp.max(masked, axis=0)                      # (W, C)
-            # all-masked columns (empty row range) match every row here;
-            # harmless — stage B never routes gradient to them (their
-            # rowmax is -inf, pooled is 0)
-            rid = jnp.where(masked == rm[None], band_rows, big)
-            rowmax_ref[...] = rm
-            rfirst_ref[...] = jnp.min(rid, axis=0)            # (W, C)
-            drow_ref[...] = jnp.zeros_like(drow_ref)
-            for pw in range(out_size):
-                packed_w = bounds_ref[base + pw]
-                ws = (packed_w >> 16) & 0xFF
-                we = (packed_w >> 24) & 0xFF
-                if sliced:
-                    ws_c = jnp.clip((ws // 8) * 8, 0, feat_w - mbw)
-                    ws_a = pl.multiple_of(ws_c, 8)
-                else:
-                    ws_c = 0
-                    ws_a = 0
-                win_rm = rowmax_ref[pl.ds(ws_a, win_w), :]    # (MBW, C)
-                binmax = pooled_ref[0, j, ph, pw, :].astype(jnp.float32)
-                gbin = g_ref[0, j, ph, pw, :].astype(jnp.float32)
-                cmask = (col_idx + ws_c >= ws) & (col_idx + ws_c < we)
-                hit = cmask & (win_rm == binmax)
-                cid = jnp.where(hit, col_idx + ws_c, big)
-                cmin = jnp.min(cid, axis=0)                   # (C,)
-                # empty/invalid bins: no hit -> cmin == big -> no winner
-                winner = (col_idx + ws_c) == cmin
-                cur = drow_ref[pl.ds(ws_a, win_w), :]
-                drow_ref[pl.ds(ws_a, win_w), :] = cur + jnp.where(
-                    winner, gbin, 0.0)
-            # scatter: route each column's accumulated gradient to its
-            # first-max row (drow is zero outside winner columns)
-            eq_r = band_rows == rfirst_ref[...][None]
-            cur = dfeat_ref[0, pl.ds(hs_c, mbh), :, :]
-            dfeat_ref[0, pl.ds(hs_c, mbh), :, :] = cur + jnp.where(
-                eq_r, drow_ref[...][None], 0.0)
+            aux = aux_ref[base + ph]
+            lh = aux & 0xFF
+            r1 = (aux >> 8) & 0xFF
+            r2 = (aux >> 16) & 0xFF
+
+            @pl.when(he > hs)
+            def _ph_body(j=j, base=base, hs=hs, he=he, lh=lh, r1=r1, r2=r2,
+                         ph=ph):
+                # rowmax over the bin rows: two sparse-table reads.
+                # f32 compare everywhere below: a native-bf16 compare
+                # would be cheaper but its i1 vector layout fails Mosaic
+                # relayout (sub-32-bit limitation, environment gotcha #5)
+                row_a = table_ref[0, lh, r1, :, :].astype(jnp.float32)
+                row_b = table_ref[0, lh, r2, :, :].astype(jnp.float32)
+                rm = jnp.maximum(row_a, row_b)                # (W, C)
+                rowmax_ref[...] = rm
+                drow_ref[...] = jnp.zeros_like(drow_ref)
+                for pw in range(out_size):
+                    packed_w = bounds_ref[base + pw]
+                    ws = (packed_w >> 16) & 0xFF
+                    we = (packed_w >> 24) & 0xFF
+                    if sliced:
+                        ws_c = jnp.clip((ws // 8) * 8, 0, feat_w - mbw)
+                        ws_a = pl.multiple_of(ws_c, 8)
+                    else:
+                        ws_c = 0
+                        ws_a = 0
+                    win_rm = rowmax_ref[pl.ds(ws_a, win_w), :]  # (MBW, C)
+                    binmax = pooled_ref[0, j, ph, pw, :].astype(jnp.float32)
+                    gbin = g_ref[0, j, ph, pw, :].astype(jnp.float32)
+                    cmask = (col_idx + ws_c >= ws) & (col_idx + ws_c < we)
+                    hit = cmask & (win_rm == binmax)
+                    cid = jnp.where(hit, col_idx + ws_c, big)
+                    cmin = jnp.min(cid, axis=0)               # (C,)
+                    # empty/invalid bins: no hit -> cmin == big -> no
+                    # winner column
+                    winner = (col_idx + ws_c) == cmin
+                    cur = drow_ref[pl.ds(ws_a, win_w), :]
+                    drow_ref[pl.ds(ws_a, win_w), :] = cur + jnp.where(
+                        winner, gbin, 0.0)
+                # scatter: walk the band rows once; each column's
+                # accumulated gradient lands on its FIRST row attaining
+                # rowmax (drow is zero outside winner columns)
+                drow_v = drow_ref[...]
+                running = jnp.zeros_like(rm)
+                for y in range(mbh):
+                    yy = jnp.clip(hs, 0, max(feat_h - mbh, 0)) + y
+                    inr = (yy >= hs) & (yy < he)              # scalar
+                    band_y = table_ref[0, 0, yy, :, :].astype(jnp.float32)
+                    hit_y = jnp.where(band_y == rm, 1.0, 0.0)
+                    hit_y = jnp.where(inr, hit_y, 0.0)
+                    first_y = hit_y * (1.0 - running)
+                    cur = dfeat_ref[0, yy, :, :]
+                    dfeat_ref[0, yy, :, :] = cur + first_y * drow_v
+                    running = jnp.maximum(running, hit_y)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
@@ -403,13 +430,18 @@ def roi_max_pool_pallas(feat: jnp.ndarray, rois: jnp.ndarray,
 
 
 def _fwd(feat, rois, out_size, spatial_scale, interpret, flat_out):
-    out = _forward(feat, rois, out_size, spatial_scale, interpret, flat_out)
-    return out, (feat, rois, out)
+    packed, aux, table, levels = _prep(feat, rois, out_size, spatial_scale)
+    out = _forward_from(packed, aux, table, levels, feat, rois, out_size,
+                        spatial_scale, interpret, flat_out)
+    # the table is the residual (level 0 IS feat); in the one jitted train
+    # graph XLA CSEs it with the forward's own construction, so keeping it
+    # costs only its HBM liveness (~30 MB at the b8 VGG shape)
+    return out, (table, rois, out)
 
 
-def _backward_pallas(feat, rois, pooled, g, out_size, spatial_scale,
+def _backward_pallas(table, rois, pooled, g, out_size, spatial_scale,
                      interpret):
-    b, h, w, c = feat.shape
+    b, levels, h, w, c = table.shape
     r = rois.shape[1]
     mbh = max_bin_extent(h, out_size)
     bounds = jax.vmap(
@@ -417,16 +449,17 @@ def _backward_pallas(feat, rois, pooled, g, out_size, spatial_scale,
     )(rois)
     hs, he, ws, we = (x.astype(jnp.int32).reshape(-1) for x in bounds)
     packed = hs | (he << 8) | (ws << 16) | (we << 24)
+    aux = _row_query_aux(hs, he, levels, h)
 
-    cblock = c if c % 256 or c <= 256 else 256
+    cblock = _channel_block(h, w, c, levels, table.dtype.itemsize)
     ncb = c // cblock
-    rpp = next(g for g in _RPP_CANDIDATES if r % g == 0)
+    rpp = next(g_ for g_ in _RPP_CANDIDATES if r % g_ == 0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(b, ncb, r // rpp),
         in_specs=[
-            pl.BlockSpec((1, h, w, cblock),
-                         lambda bb, cc, rr, *_: (bb, 0, 0, cc),
+            pl.BlockSpec((1, levels, h, w, cblock),
+                         lambda bb, cc, rr, *_: (bb, 0, 0, 0, cc),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, rpp, out_size, out_size, cblock),
                          lambda bb, cc, rr, *_: (bb, rr, 0, 0, cc),
@@ -439,7 +472,6 @@ def _backward_pallas(feat, rois, pooled, g, out_size, spatial_scale,
                                lambda bb, cc, rr, *_: (bb, 0, 0, cc),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((w, cblock), jnp.float32),   # rowmax
-                        pltpu.VMEM((w, cblock), jnp.int32),     # rfirst
                         pltpu.VMEM((w, cblock), jnp.float32)],  # drow
     )
     mbw = _stage_b_window(w, out_size)
@@ -451,31 +483,32 @@ def _backward_pallas(feat, rois, pooled, g, out_size, spatial_scale,
         out_shape=jax.ShapeDtypeStruct((b, h, w, c), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(packed, feat, pooled, g)
-    return dfeat.astype(feat.dtype)
+    )(packed, aux, table, pooled, g)
+    return dfeat.astype(table.dtype)
 
 
 def _bwd(out_size, spatial_scale, interpret, flat_out, res, g):
-    feat, rois, pooled = res
+    table, rois, pooled = res
+    b, _, fh, fw, c = table.shape
     if flat_out:
         # backward kernel consumes the standard 5-D layout; the train-time
         # g/pooled unflatten is a ~51 MB relayout at the b8x128 shape
-        b, c = feat.shape[0], feat.shape[3]
         r = rois.shape[1]
-        groups = flat_lane_groups(feat.shape[1], feat.shape[2], c, out_size,
-                                  feat.dtype.itemsize)
+        groups = flat_lane_groups(fh, fw, c, out_size, table.dtype.itemsize)
         pooled = unflatten_pooled(pooled, b, r, out_size, c, groups)
         g = unflatten_pooled(g, b, r, out_size, c, groups)
     if jax.default_backend() == "cpu" and not interpret:
         # CPU fallback: the XLA single-winner backward (the same contract
-        # roi_max_pool's custom VJP implements)
+        # roi_max_pool's custom VJP implements); table level 0 is feat
         from trcnn.ops.roi_pool import roi_pool_backward_xla
 
         dfeat = jax.vmap(functools.partial(
             roi_pool_backward_xla, out_size=out_size,
-            spatial_scale=spatial_scale))(feat, rois, g.astype(jnp.float32))
+            spatial_scale=spatial_scale))(table[:, 0], rois,
+                                          g.astype(jnp.float32))
+        dfeat = dfeat.astype(table.dtype)
     else:
-        dfeat = _backward_pallas(feat, rois, pooled, g, out_size,
+        dfeat = _backward_pallas(table, rois, pooled, g, out_size,
                                  spatial_scale, interpret)
     return dfeat, jnp.zeros_like(rois)
 

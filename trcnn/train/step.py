@@ -129,11 +129,21 @@ def make_train_step(
     tx: optax.GradientTransformation,
     mesh: Optional[Mesh] = None,
     donate: bool = True,
+    inner_steps: int = 1,
 ) -> Callable:
     """Build the jitted train step: (state, batch_dict, rng) → (state, metrics).
 
     With a mesh, state/rng replicate and the batch shards over ``data``;
     without one it is a plain single-device jit (CPU config-1 path).
+
+    ``inner_steps > 1``: the returned callable runs K optimizer steps per
+    dispatch via ``lax.scan``; every array in ``batch_dict`` must then
+    carry a leading (K, ...) axis (one slice per inner step) and the
+    returned metrics are the LAST inner step's.  One dispatch + one host
+    sync per K steps amortizes per-call dispatch latency (~6 ms/step
+    through the tunneled chip at the b8 VGG shape — the wall-vs-XLA-rail
+    gap in NOTES_ROUND5).  Per-step RNG stays identical to the K=1 path:
+    the fold-in key is ``state.step``, which increments inside the scan.
     """
 
     def step(state: TrainState, batch: Dict[str, jnp.ndarray],
@@ -161,7 +171,18 @@ def make_train_step(
     # is created via TrainState.create_sharded (params replicated, fc6/fc7
     # TP-sharded over 'model') and device_batch shards arrays over 'data';
     # jit propagates both and inserts the gradient all-reduce.
-    return jax.jit(step, donate_argnums=(0,) if donate else ())
+    if inner_steps == 1:
+        return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+    def step_k(state: TrainState, batches: Dict[str, jnp.ndarray],
+               rng: jax.Array) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        def body(s, b):
+            return step(s, b, rng)
+
+        state, ms = jax.lax.scan(body, state, batches)
+        return state, jax.tree.map(lambda x: x[-1], ms)
+
+    return jax.jit(step_k, donate_argnums=(0,) if donate else ())
 
 
 def make_detect_step(model, cfg, mesh: Optional[Mesh] = None,
