@@ -156,6 +156,38 @@ def test_flat_out_matches_5d_interpret():
                                atol=1e-5)
 
 
+def test_bwd_channel_block_fits_r101_portrait():
+    """The backward sizes its own channel block: at the forward's 256-lane
+    block the R101-C4 PORTRAIT train step (64x38 map, C=1024, pool 14)
+    overflowed Mosaic's 16 MB scoped VMEM by 80 KB — observed as a
+    train-step compile failure in the round-5 learning re-run.  The
+    chooser must drop such shapes to 128 lanes (fits), keep VGG bf16 at
+    256, and flag COCO f32 as not-fitting (XLA fallback, mirroring the
+    forward's pallas_vmem_fits gate)."""
+    from trcnn.ops.roi_pool_pallas import _bwd_channel_block
+
+    assert _bwd_channel_block(64, 38, 1024, 3, 2, 14, 8) == (128, True)
+    assert _bwd_channel_block(38, 64, 1024, 3, 2, 14, 8) == (128, True)
+    assert _bwd_channel_block(38, 64, 512, 3, 2, 7, 8) == (256, True)
+    assert _bwd_channel_block(50, 84, 512, 4, 2, 7, 8) == (128, True)
+    assert _bwd_channel_block(50, 84, 512, 4, 4, 7, 8)[1] is False
+
+
+def test_backward_oracle_pool14_interpret():
+    """out_size=14 (the R101-C4 head's pool) through the Pallas backward
+    vs the numpy oracle — the shape family the VMEM regression hit."""
+    feat, rois = _fixture(7, B=1, H=22, W=18, C=8, R=8)
+    feat[:, 3:9, 2:12, :] = 4.0  # plateau ties
+    g = np.random.RandomState(8).randn(1, 8, 14, 14, 8).astype(np.float32)
+    d_pal = np.asarray(jax.vjp(
+        lambda f: roi_max_pool_pallas(f, jnp.asarray(rois), 14, 1 / 16.0,
+                                      True),
+        jnp.asarray(feat))[1](jnp.asarray(g))[0])
+    want = roi_pool_backward_oracle_numpy(feat[0], rois[0], g[0],
+                                          out_size=14)
+    np.testing.assert_allclose(d_pal[0], want, atol=1e-4)
+
+
 def test_pallas_vmem_fits_routes_coco_f32_to_xla():
     """Scoped-VMEM fit predicate (the COCO-config f32 train step compiled
     to a 17.67M > 16M stack allocation before the model gated on this —

@@ -429,6 +429,32 @@ def roi_max_pool_pallas(feat: jnp.ndarray, rois: jnp.ndarray,
                     flat_out)
 
 
+def _bwd_channel_block(h: int, w: int, c: int, levels: int, t_item: int,
+                       out_size: int, rpp: int) -> Tuple[int, bool]:
+    """(cblock, fits) for the backward kernel's VMEM stack.
+
+    The backward holds MORE than the forward per grid step — the table
+    block AND an f32 dfeat block AND the pooled/g blocks (all
+    double-buffered by Mosaic) — so it sizes its own channel block
+    instead of borrowing the forward's.  The R101-C4 PORTRAIT canvas
+    (64x38 map, C=1024, pool 14x14) overflowed the 16 MB scoped budget by
+    80 KB at the forward's 256-lane block (observed: train-step compile
+    failure); its pooled/g blocks are 4x VGG's because out_size is 14.
+    """
+
+    def stack_bytes(cb: int) -> int:
+        table = levels * h * w * cb * t_item
+        dfeat = h * w * cb * 4
+        pg = 2 * rpp * out_size * out_size * cb * t_item
+        scratch = 2 * w * cb * 4
+        return 2 * (table + dfeat + pg) + scratch
+
+    cblock = _channel_block(h, w, c, levels, t_item)
+    while cblock > 128 and stack_bytes(cblock) > 14 * 2 ** 20:
+        cblock //= 2
+    return cblock, stack_bytes(cblock) + (1 << 20) <= 15 * 2 ** 20
+
+
 def _fwd(feat, rois, out_size, spatial_scale, interpret, flat_out):
     packed, aux, table, levels = _prep(feat, rois, out_size, spatial_scale)
     out = _forward_from(packed, aux, table, levels, feat, rois, out_size,
@@ -451,9 +477,10 @@ def _backward_pallas(table, rois, pooled, g, out_size, spatial_scale,
     packed = hs | (he << 8) | (ws << 16) | (we << 24)
     aux = _row_query_aux(hs, he, levels, h)
 
-    cblock = _channel_block(h, w, c, levels, table.dtype.itemsize)
-    ncb = c // cblock
     rpp = next(g_ for g_ in _RPP_CANDIDATES if r % g_ == 0)
+    cblock, _ = _bwd_channel_block(h, w, c, levels, table.dtype.itemsize,
+                                   out_size, rpp)
+    ncb = c // cblock
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(b, ncb, r // rpp),
@@ -497,9 +524,15 @@ def _bwd(out_size, spatial_scale, interpret, flat_out, res, g):
         groups = flat_lane_groups(fh, fw, c, out_size, table.dtype.itemsize)
         pooled = unflatten_pooled(pooled, b, r, out_size, c, groups)
         g = unflatten_pooled(g, b, r, out_size, c, groups)
-    if jax.default_backend() == "cpu" and not interpret:
-        # CPU fallback: the XLA single-winner backward (the same contract
-        # roi_max_pool's custom VJP implements); table level 0 is feat
+    levels = table.shape[1]
+    rpp = next(g_ for g_ in _RPP_CANDIDATES if rois.shape[1] % g_ == 0)
+    _, kern_fits = _bwd_channel_block(fh, fw, c, levels,
+                                      table.dtype.itemsize, out_size, rpp)
+    if (jax.default_backend() == "cpu" and not interpret) or not kern_fits:
+        # CPU fallback AND shapes whose backward stack cannot fit scoped
+        # VMEM even at the 128-lane floor: the XLA single-winner backward
+        # (the same contract roi_max_pool's custom VJP implements); table
+        # level 0 is feat
         from trcnn.ops.roi_pool import roi_pool_backward_xla
 
         dfeat = jax.vmap(functools.partial(
