@@ -44,8 +44,12 @@ def load_ops(logdir: str, nsteps: int):
     for e in events:
         if (e.get("ph") == "X" and "dur" in e
                 and "TPU" in pids.get(e["pid"], "")
-                and (e["pid"], e.get("tid")) in tids
-                and "jit_" not in e["name"]):
+                and (e["pid"], e.get("tid")) in tids):
+            # NOTE: an earlier "jit_" name filter (meant for outer jit
+            # wrapper spans, which in fact live on other rails) silently
+            # dropped vmap_jit_nms_padded_pallas — the train-time proposal
+            # NMS, 4.33 ms/step — from every r3/r4 roofline table.  All
+            # XLA-Ops events here are real device ops with attribution.
             a = e.get("args", {})
             r = agg.setdefault(e["name"], [0.0, 0.0, 0.0, ""])
             r[0] += e["dur"] / 1000.0 / nsteps

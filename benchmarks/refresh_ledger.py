@@ -240,8 +240,17 @@ def splice(path: str, begin: str, end: str, body: str) -> None:
 # ledger/docs themselves (or the driver's end-of-round snapshot of notes)
 # must not re-stale the gate — that exact loop broke the r3 AND r4 ledgers
 # (measure at X, commit the tables, HEAD moves past X, check fails).
+# Tests and trace-ANALYSIS tools are unmeasured too: the matrix executes
+# only bench.py and benchmarks/bench_train.py (plus the package they
+# import); a probe or attribution fix cannot move a ledger number.
 _UNMEASURED = ("*.md", "*.json", "*.jsonl", "docs/*", "benchmarks/ledger.json",
-               ".gitignore")
+               ".gitignore", "tests/*", "benchmarks/attr_ops.py",
+               "benchmarks/gap_ops.py", "benchmarks/map_fusions.py",
+               "benchmarks/trace_ops.py", "benchmarks/probe_*",
+               "benchmarks/profile_stages.py",
+               # the orchestrator itself: edits after a refresh cannot
+               # rewrite already-recorded numbers
+               "benchmarks/refresh_ledger.py")
 
 
 def _docs_only_since(commit: str) -> bool:
