@@ -75,7 +75,7 @@ def main() -> int:
                     tab = jax.vmap(lambda x: rpp_mod.sliding_row_max_table(
                         x, levels))(f + carry.astype(f.dtype))
                     df = rpp_mod._backward_pallas(
-                        tab, r, pooled, g, 7, 1.0 / 16.0, False)
+                        tab, r, g, 7, 1.0 / 16.0, False)
                     return jnp.float32(df[0, 0, 0, 0]) * 1e-30, None
                 carry, _ = lax.scan(body, jnp.float32(0), None,
                                     length=args.inner)

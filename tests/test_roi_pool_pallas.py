@@ -157,18 +157,21 @@ def test_flat_out_matches_5d_interpret():
 
 
 def test_bwd_channel_block_fits_r101_portrait():
-    """The backward sizes its own channel block: at the forward's 256-lane
-    block the R101-C4 PORTRAIT train step (64x38 map, C=1024, pool 14)
-    overflowed Mosaic's 16 MB scoped VMEM by 80 KB — observed as a
-    train-step compile failure in the round-5 learning re-run.  The
-    chooser must drop such shapes to 128 lanes (fits), keep VGG bf16 at
-    256, and flag COCO f32 as not-fitting (XLA fallback, mirroring the
+    """The backward sizes its own channel block with a sublane-padded
+    VMEM-stack model: at the forward's 256-lane block the R101-C4
+    PORTRAIT train step (64x38 map, C=1024, pool 14) overflowed Mosaic's
+    16 MB scoped VMEM by 80 KB while the kernel still took pooled as an
+    input — observed as a train-step compile failure in the round-5
+    learning re-run.  With binmax recomputed in-kernel (pooled block
+    gone) BOTH R101 orientations keep 256 lanes (compile-verified on
+    chip); COCO f32 stays not-fitting (XLA fallback, mirroring the
     forward's pallas_vmem_fits gate)."""
     from trcnn.ops.roi_pool_pallas import _bwd_channel_block
 
-    assert _bwd_channel_block(64, 38, 1024, 3, 2, 14, 8) == (128, True)
-    assert _bwd_channel_block(38, 64, 1024, 3, 2, 14, 8) == (128, True)
+    assert _bwd_channel_block(64, 38, 1024, 3, 2, 14, 8) == (256, True)
+    assert _bwd_channel_block(38, 64, 1024, 3, 2, 14, 8) == (256, True)
     assert _bwd_channel_block(38, 64, 512, 3, 2, 7, 8) == (256, True)
+    assert _bwd_channel_block(38, 64, 512, 3, 4, 7, 8) == (128, True)
     assert _bwd_channel_block(50, 84, 512, 4, 2, 7, 8) == (128, True)
     assert _bwd_channel_block(50, 84, 512, 4, 4, 7, 8)[1] is False
 

@@ -306,7 +306,7 @@ def _forward_from(packed, aux, table, levels, feat, rois, out_size,
     )(packed, aux, table)
 
 
-def _bwd_kernel(bounds_ref, aux_ref, table_ref, pooled_ref, g_ref,
+def _bwd_kernel(bounds_ref, aux_ref, table_ref, g_ref,
                 dfeat_ref, rowmax_ref, drow_ref, *, out_size: int,
                 mbh: int, mbw: int, feat_h: int, feat_w: int, feat_c: int,
                 num_rois: int, rois_per_program: int):
@@ -325,8 +325,13 @@ def _bwd_kernel(bounds_ref, aux_ref, table_ref, pooled_ref, g_ref,
         the forward's own stage-A query, O(W·C) instead of a masked
         (MBH, W, C) band reduction;
       stage B (per bin — tiny (MBW, C) windows of the (W, C) rowmax):
-        winner column x* = first column in [ws, we) with
-        rowmax[x*] == pooled[bin]; accumulate g[bin] into drow[x*];
+        binmax is RECOMPUTED as the masked window max of rowmax (the
+        forward's own stage-B computation, so exactly equal to pooled —
+        keeping pooled out of the kernel saves a double-buffered
+        (rpp, P, P, C) VMEM block, which is what lets R101's pool-14
+        head keep 256-lane channel blocks in BOTH orientations); winner
+        column x* = first column attaining it; accumulate g[bin] into
+        drow[x*];
       scatter (per roi, ph): one pass over the band rows routing
         drow[x, c] to the FIRST row attaining rowmax[x, c] — a running
         0/1 "already seen" plane keeps first-occurrence semantics without
@@ -383,9 +388,14 @@ def _bwd_kernel(bounds_ref, aux_ref, table_ref, pooled_ref, g_ref,
                         ws_c = 0
                         ws_a = 0
                     win_rm = rowmax_ref[pl.ds(ws_a, win_w), :]  # (MBW, C)
-                    binmax = pooled_ref[0, j, ph, pw, :].astype(jnp.float32)
                     gbin = g_ref[0, j, ph, pw, :].astype(jnp.float32)
                     cmask = (col_idx + ws_c >= ws) & (col_idx + ws_c < we)
+                    # recompute binmax = the forward's stage-B masked
+                    # window max (exactly equal to pooled[bin]); empty
+                    # column ranges give -inf and cmask kills every hit
+                    binmax = jnp.max(
+                        jnp.where(cmask, win_rm, jnp.float32(-jnp.inf)),
+                        axis=0)
                     hit = cmask & (win_rm == binmax)
                     cid = jnp.where(hit, col_idx + ws_c, big)
                     cmin = jnp.min(cid, axis=0)               # (C,)
@@ -434,25 +444,37 @@ def _bwd_channel_block(h: int, w: int, c: int, levels: int, t_item: int,
     """(cblock, fits) for the backward kernel's VMEM stack.
 
     The backward holds MORE than the forward per grid step — the table
-    block AND an f32 dfeat block AND the pooled/g blocks (all
-    double-buffered by Mosaic) — so it sizes its own channel block
-    instead of borrowing the forward's.  The R101-C4 PORTRAIT canvas
-    (64x38 map, C=1024, pool 14x14) overflowed the 16 MB scoped budget by
-    80 KB at the forward's 256-lane block (observed: train-step compile
-    failure); its pooled/g blocks are 4x VGG's because out_size is 14.
+    block AND an f32 dfeat block AND the g block (all double-buffered by
+    Mosaic) — so it sizes its own channel block instead of borrowing the
+    forward's.  The R101-C4 PORTRAIT canvas (64x38 map, C=1024, pool
+    14x14) overflowed the 16 MB scoped budget by 80 KB at the forward's
+    256-lane block while the kernel still took pooled as an input
+    (observed: train-step compile failure); with binmax recomputed
+    in-kernel the stack fits 256 lanes in both orientations with margin.
     """
 
-    def stack_bytes(cb: int) -> int:
-        table = levels * h * w * cb * t_item
-        dfeat = h * w * cb * 4
-        pg = 2 * rpp * out_size * out_size * cb * t_item
-        scratch = 2 * w * cb * 4
-        return 2 * (table + dfeat + pg) + scratch
+    # sublane padding: the second-minor dim of each block tile pads to a
+    # multiple of 8 (w for table/dfeat/scratch, out_size for g) — without
+    # it the model under-reads the compiler's stack by ~8% (the portrait
+    # failure measured 16.08 MB where the unpadded model said 15.0)
+    w_pad = -(-w // 8) * 8
+    p_pad = -(-out_size // 8) * 8
 
+    def stack_bytes(cb: int) -> int:
+        table = levels * h * w_pad * cb * t_item
+        dfeat = h * w_pad * cb * 4
+        g_blk = rpp * out_size * p_pad * cb * t_item
+        scratch = 2 * w_pad * cb * 4
+        return 2 * (table + dfeat + g_blk) + scratch
+
+    # 15.2 MB acceptance against the 16 MB Mosaic limit: the padded model
+    # tracks the compiler within ~2-4% on the measured shapes, leaving
+    # >=0.2 MB of true margin at the acceptance boundary
+    budget = int(15.2 * 2 ** 20)
     cblock = _channel_block(h, w, c, levels, t_item)
-    while cblock > 128 and stack_bytes(cblock) > 14 * 2 ** 20:
+    while cblock > 128 and stack_bytes(cblock) > budget:
         cblock //= 2
-    return cblock, stack_bytes(cblock) + (1 << 20) <= 15 * 2 ** 20
+    return cblock, stack_bytes(cblock) <= budget
 
 
 def _fwd(feat, rois, out_size, spatial_scale, interpret, flat_out):
@@ -461,12 +483,12 @@ def _fwd(feat, rois, out_size, spatial_scale, interpret, flat_out):
                         spatial_scale, interpret, flat_out)
     # the table is the residual (level 0 IS feat); in the one jitted train
     # graph XLA CSEs it with the forward's own construction, so keeping it
-    # costs only its HBM liveness (~30 MB at the b8 VGG shape)
-    return out, (table, rois, out)
+    # costs only its HBM liveness (~30 MB at the b8 VGG shape).  pooled is
+    # NOT needed — the backward recomputes each binmax from the table.
+    return out, (table, rois)
 
 
-def _backward_pallas(table, rois, pooled, g, out_size, spatial_scale,
-                     interpret):
+def _backward_pallas(table, rois, g, out_size, spatial_scale, interpret):
     b, levels, h, w, c = table.shape
     r = rois.shape[1]
     mbh = max_bin_extent(h, out_size)
@@ -491,9 +513,6 @@ def _backward_pallas(table, rois, pooled, g, out_size, spatial_scale,
             pl.BlockSpec((1, rpp, out_size, out_size, cblock),
                          lambda bb, cc, rr, *_: (bb, rr, 0, 0, cc),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, rpp, out_size, out_size, cblock),
-                         lambda bb, cc, rr, *_: (bb, rr, 0, 0, cc),
-                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, h, w, cblock),
                                lambda bb, cc, rr, *_: (bb, 0, 0, cc),
@@ -510,21 +529,19 @@ def _backward_pallas(table, rois, pooled, g, out_size, spatial_scale,
         out_shape=jax.ShapeDtypeStruct((b, h, w, c), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(packed, aux, table, pooled, g)
+    )(packed, aux, table, g)
     return dfeat.astype(table.dtype)
 
 
 def _bwd(out_size, spatial_scale, interpret, flat_out, res, g):
-    table, rois, pooled = res
-    b, _, fh, fw, c = table.shape
+    table, rois = res
+    b, levels, fh, fw, c = table.shape
     if flat_out:
         # backward kernel consumes the standard 5-D layout; the train-time
-        # g/pooled unflatten is a ~51 MB relayout at the b8x128 shape
+        # g unflatten is a ~25 MB relayout at the b8x128 shape
         r = rois.shape[1]
         groups = flat_lane_groups(fh, fw, c, out_size, table.dtype.itemsize)
-        pooled = unflatten_pooled(pooled, b, r, out_size, c, groups)
         g = unflatten_pooled(g, b, r, out_size, c, groups)
-    levels = table.shape[1]
     rpp = next(g_ for g_ in _RPP_CANDIDATES if rois.shape[1] % g_ == 0)
     _, kern_fits = _bwd_channel_block(fh, fw, c, levels,
                                       table.dtype.itemsize, out_size, rpp)
@@ -541,7 +558,7 @@ def _bwd(out_size, spatial_scale, interpret, flat_out, res, g):
                                           g.astype(jnp.float32))
         dfeat = dfeat.astype(table.dtype)
     else:
-        dfeat = _backward_pallas(table, rois, pooled, g, out_size,
+        dfeat = _backward_pallas(table, rois, g, out_size,
                                  spatial_scale, interpret)
     return dfeat, jnp.zeros_like(rois)
 
