@@ -84,7 +84,7 @@ def main() -> int:
 
     from trcnn.config import coco_config, voc_config
     from trcnn.models import make_model
-    from trcnn.models.faster_rcnn import postprocess
+    from trcnn.models.faster_rcnn import cast_params_for_inference, postprocess
 
     cfg = voc_config() if args.config == "voc" else coco_config()
     if args.backbone != "vgg16":
@@ -129,6 +129,14 @@ def main() -> int:
         else:
             print(f"[bench] no checkpoint in {args.checkpoint_dir}; "
                   "random init", file=sys.stderr)
+
+    if args.quant == "none":
+        # serving-standard one-time kernel cast: bit-identical activations
+        # (the graph casts kernels at use anyway), but the per-dispatch
+        # f32-read+bf16-write of the cast disappears — at b1/scan_steps=1
+        # the fc6 cast alone is ~1.5 ms of a ~5.9 ms device step (it only
+        # amortizes when the scan hoists it)
+        params = cast_params_for_inference(params, dtype)
 
     from jax import lax
 

@@ -51,6 +51,12 @@ def main():
                   ).astype(dtype)
     im_info = jnp.tile(jnp.asarray([[600.0, 1000.0, 1.6]], jnp.float32), (b, 1))
     params = jax.jit(model.init)(rng, images, im_info)
+    if not args.train:
+        # serving-standard pre-cast, mirroring bench.py (training keeps
+        # f32 master params)
+        from trcnn.models.faster_rcnn import cast_params_for_inference
+
+        params = cast_params_for_inference(params, dtype)
 
     if args.train:
         from trcnn.train.optim import make_optimizer

@@ -30,6 +30,13 @@ def main() -> int:
     ap.add_argument("--checkpoint_dir", default=None,
                     help="orbax dir to restore trained params from")
     ap.add_argument("--batch_size", type=int, default=8)
+    ap.add_argument("--dtype", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="compute dtype. float32 = bit-parity with the "
+                         "reference (default); bfloat16 = TPU serving "
+                         "mode with a one-time kernel pre-cast "
+                         "(bit-identical to in-graph casting, removes "
+                         "the per-dispatch cast traffic)")
     ap.add_argument("--backbone", default="vgg16",
                     choices=["vgg16", "resnet101"])
     ap.add_argument("--use_07_metric", action="store_true", default=True)
@@ -69,7 +76,10 @@ def main() -> int:
     if args.backbone != "vgg16":
         cfg = cfg.replace(backbone=args.backbone)
 
-    model = make_model(cfg)
+    import jax.numpy as jnp
+
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    model = make_model(cfg, dtype=dtype)
     # prefetch=0: a one-shot shape probe must not leave a prefetch worker
     # thread blocked on its queue holding decoded canvases for the rest of
     # the process lifetime
@@ -97,6 +107,8 @@ def main() -> int:
         params = jax.jit(model.init)(jax.random.PRNGKey(0),
                                      np.asarray(first.images),
                                      np.asarray(first.im_info))
+    from trcnn.models.faster_rcnn import cast_params_for_inference
+    params = cast_params_for_inference(params, dtype)  # no-op at f32
 
     mesh = make_mesh() if jax.device_count() > 1 else None
     metric = args.metric or ("coco" if args.dataset == "coco" else "voc07")

@@ -32,6 +32,13 @@ def main() -> int:
     ap.add_argument("--score_thresh", type=float, default=None,
                     help="visualization score threshold (default 0.7)")
     ap.add_argument("--nms_thresh", type=float, default=None)
+    ap.add_argument("--dtype", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="compute dtype. float32 = bit-parity with the "
+                         "reference (default); bfloat16 = TPU serving "
+                         "mode with a one-time kernel pre-cast "
+                         "(bit-identical to in-graph casting, removes "
+                         "the per-dispatch cast traffic)")
     ap.add_argument("--backbone", default="vgg16",
                     choices=["vgg16", "resnet101"])
     ap.add_argument("--gpu", type=int, default=-1,
@@ -72,7 +79,10 @@ def main() -> int:
     images = canvas[None]
     im_info = im_info[None]
 
-    model = make_model(cfg)
+    import jax.numpy as jnp
+
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    model = make_model(cfg, dtype=dtype)
     if args.pretrained_model:
         from trcnn.convert import import_weights
         # device_put once — a host-numpy param tree would re-upload on
@@ -83,6 +93,8 @@ def main() -> int:
         print("[warn] no --pretrained_model: using random init "
               "(smoke-test mode)", file=sys.stderr)
         params = jax.jit(model.init)(jax.random.PRNGKey(0), images, im_info)
+    from trcnn.models.faster_rcnn import cast_params_for_inference
+    params = cast_params_for_inference(params, dtype)  # no-op at f32
 
     @jax.jit
     def run(p, x, info):

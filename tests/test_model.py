@@ -138,6 +138,41 @@ def test_uint8_input_path_matches_float(setup):
                                np.asarray(raw_f.rois), atol=1e-3)
 
 
+def test_cast_params_for_inference_bit_identical():
+    """The serving pre-cast (kernels → compute dtype, once) must produce
+    BIT-identical detect outputs to feeding f32 params into the same
+    bf16 graph — the graph casts kernels at their use sites either way;
+    the pre-cast only removes the per-dispatch cast traffic (round-5 b1
+    attribution: the fc6 cast alone was ~1.5 ms of a 5.9 ms device
+    step).  FrozenBN-style non-kernel leaves must stay f32."""
+    from trcnn.models.faster_rcnn import cast_params_for_inference
+
+    cfg = tiny_cfg()
+    model = make_model(cfg, dtype=jnp.bfloat16)
+    b, h, w = 1, 64, 96
+    rng = jax.random.PRNGKey(3)
+    images = jax.random.normal(rng, (b, h, w, 3))
+    im_info = jnp.asarray([[60.0, 90.0, 1.0]], jnp.float32)
+    params = model.init(rng, images, im_info)
+
+    cast = cast_params_for_inference(params, jnp.bfloat16)
+    # kernels cast, biases untouched, f32 precision islands untouched
+    assert cast["params"]["head"]["fc6"]["kernel"].dtype == jnp.bfloat16
+    assert cast["params"]["head"]["fc6"]["bias"].dtype == jnp.float32
+    assert cast["params"]["head"]["cls_score"]["kernel"].dtype == jnp.float32
+    assert cast["params"]["head"]["bbox_pred"]["kernel"].dtype == jnp.float32
+
+    run = jax.jit(lambda p, x, i: model.apply(p, x, i, method="detect"))
+    raw_f32 = run(params, images, im_info)
+    raw_cast = run(cast, images, im_info)
+    for field in ("rois", "roi_valid", "cls_prob", "bbox_pred"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(raw_f32, field)),
+            np.asarray(getattr(raw_cast, field)), err_msg=field)
+    # f32 compute dtype: pure no-op, same object tree
+    assert cast_params_for_inference(params, jnp.float32) is params
+
+
 def test_roi_align_mode_config():
     """RoIConfig.mode='align' must actually select RoIAlign in the model
     (it was a dead switch until round 2.1)."""

@@ -403,3 +403,46 @@ def make_model(cfg: FasterRCNNConfig = FasterRCNNConfig(),
                dtype: Any = jnp.float32,
                quant: str = "none") -> FasterRCNN:
     return FasterRCNN(cfg=cfg, dtype=dtype, quant=quant)
+
+
+def cast_params_for_inference(params, dtype) -> Any:
+    """One-time KERNEL cast to the compute dtype, for inference serving.
+
+    Inside the graph every conv/dense kernel is promoted to the compute
+    dtype at its use site, so pre-casting the ``kernel`` leaves produces
+    bit-identical activations while removing the per-dispatch f32-read +
+    low-precision-write of the cast itself — material when nothing hoists
+    it: at batch-1 detect the fc6 weight cast alone measured ~1.5 ms of a
+    5.9 ms device step (benchmarks/attr_ops.py, round 5; a ``lax.scan``
+    over steps hoists the loop-invariant cast, which is why batched scan
+    benches never see it).  Only ``kernel`` leaves are touched: biases
+    are negligible and FrozenBN statistics must stay f32 (their folding
+    arithmetic runs in f32 before the result is cast).
+
+    Training must NOT use this — the optimizer needs f32 master params.
+    """
+    if dtype == jnp.float32:
+        return params
+
+    # modules that COMPUTE in f32 (precision islands): their kernels are
+    # consumed at f32, so pre-casting would change numerics instead of
+    # being a no-op.  cls_score/bbox_pred are the output heads (RoI head
+    # and R101 C5 head alike); everything else takes dtype=self.dtype.
+    f32_islands = ("cls_score", "bbox_pred")
+
+    def walk(node):
+        if isinstance(node, dict):
+            out = {}
+            for k, v in node.items():
+                if k in f32_islands:
+                    out[k] = v
+                elif (k == "kernel"
+                      and jnp.issubdtype(jnp.asarray(v).dtype,
+                                         jnp.floating)):
+                    out[k] = jnp.asarray(v, dtype)
+                else:
+                    out[k] = walk(v)
+            return out
+        return node
+
+    return walk(params)
