@@ -33,13 +33,15 @@ def main():
     ap.add_argument("--train", action="store_true",
                     help="trace the train step instead of detect "
                          "(float canvas — the trainer feeds float)")
+    ap.add_argument("--config", default="voc", choices=["voc", "coco"],
+                    help="coco: 800x1344 canvas, 81 classes")
     args = ap.parse_args()
 
-    from trcnn.config import voc_config
+    from trcnn.config import coco_config, voc_config
     from trcnn.models import make_model
     from trcnn.models.faster_rcnn import postprocess
 
-    cfg = voc_config()
+    cfg = voc_config() if args.config == "voc" else coco_config()
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     model = make_model(cfg, dtype=dtype)
     b, h, w = args.batch_size, cfg.image.pad_h, cfg.image.pad_w
@@ -49,7 +51,9 @@ def main():
     else:
         images = (jax.random.normal(rng, (b, h, w, 3), jnp.float32) * 30.0
                   ).astype(dtype)
-    im_info = jnp.tile(jnp.asarray([[600.0, 1000.0, 1.6]], jnp.float32), (b, 1))
+    info_hw = ((600.0, 1000.0, 1.6) if args.config == "voc"
+               else (800.0, 1333.0, 1.665))
+    im_info = jnp.tile(jnp.asarray([list(info_hw)], jnp.float32), (b, 1))
     params = jax.jit(model.init)(rng, images, im_info)
     if not args.train:
         # serving-standard pre-cast, mirroring bench.py (training keeps

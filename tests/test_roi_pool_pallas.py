@@ -107,6 +107,22 @@ def test_backward_single_winner_tie_interpret():
         np.testing.assert_allclose(d_[0], d_xla[0], atol=0)
 
 
+def test_backward_unaligned_width_interpret():
+    """W not a multiple of 8 runs the kernels at the -inf-padded sublane
+    width (round 5: the full-width stage-B fallback at COCO's W=84 map
+    made the forward kernel 14.1 ms/b4, ~27x off roofline).  Backward
+    gradient at an unaligned width vs the numpy oracle, ties included."""
+    feat, rois = _fixture(9, B=1, H=30, W=44, C=16, R=8)
+    feat[:, 5:12, 8:30, :] = 2.5
+    g = np.random.RandomState(10).randn(1, 8, 7, 7, 16).astype(np.float32)
+    d_pal = np.asarray(jax.vjp(
+        lambda f: roi_max_pool_pallas(f, jnp.asarray(rois), 7, 1 / 16.0,
+                                      True),
+        jnp.asarray(feat))[1](jnp.asarray(g))[0])
+    want = roi_pool_backward_oracle_numpy(feat[0], rois[0], g[0])
+    np.testing.assert_allclose(d_pal[0], want, atol=1e-4)
+
+
 def test_forward_portrait_canvas_interpret():
     """Portrait feature map (64x38): max bin extent 11 -> a 4-level sparse
     table and multi-channel-block grid (the shape whose VMEM footprint

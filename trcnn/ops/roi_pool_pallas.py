@@ -114,9 +114,22 @@ def _stage_b_window(w: int, out_size: int) -> int:
     bin + up to 7 cols of start-alignment slack, rounded to a sublane
     multiple.  The dynamic-slice clip bound (w - mbw) must also be
     8-aligned for Mosaic, hence the w % 8 gate (full-width fallback
-    otherwise — only tiny test maps hit it)."""
+    otherwise).  Callers pad unaligned maps to the next sublane multiple
+    (``_pad_w``) precisely so this never falls back on production
+    canvases: at the COCO 50x84 map the full-width fallback ran each
+    bin's column max over (84, C) instead of (24, C) with unaligned
+    vectors — the forward kernel measured 14.1 ms/b4 (31% of the detect
+    step, ~27x off roofline) before the round-5 padding fix."""
     mbw_al = -(-(max_bin_extent(w, out_size) + 7) // 8) * 8
     return mbw_al if (mbw_al < w and w % 8 == 0) else w
+
+
+def _pad_w(w: int) -> int:
+    """Feature-map width padded to the sublane multiple the kernels run
+    at.  The sparse table is padded with -inf columns in XLA (masked out
+    of every query by the column-range masks), which keeps stage B on
+    the sliced aligned path for any canvas width."""
+    return -(-w // 8) * 8
 
 
 def _levels_for(mbh: int) -> int:
@@ -167,7 +180,10 @@ def _channel_block(h: int, w: int, c: int, levels: int, itemsize: int,
     (3-level table, 7.5 MB) but the portrait canvas needs 4 levels
     (mbh=11) → 9.96 MB → ~2x under double buffering → Mosaic VMEM
     overflow, failing the whole train-step compile.  4 MB keeps every
-    supported canvas comfortably inside 16 MB."""
+    supported canvas comfortably inside 16 MB.  Width is taken at the
+    kernels' padded sublane multiple so every block-size decision
+    (forward, backward, flat_lane_groups) shares one number."""
+    w = _pad_w(w)
     cblock = c
     while cblock > 128 and levels * h * w * cblock * itemsize > budget:
         cblock //= 2
@@ -189,7 +205,7 @@ def pallas_vmem_fits(h: int, w: int, c: int, itemsize: int,
     """
     levels = _levels_for(max_bin_extent(h, out_size))
     cblock = _channel_block(h, w, c, levels, itemsize)
-    table_block = levels * h * w * cblock * itemsize
+    table_block = levels * h * _pad_w(w) * cblock * itemsize
     # double-buffered table block + ~1 MB of output/rowmax headroom must
     # stay inside the 16 MB scoped budget
     return 2 * table_block + (1 << 20) <= 15 * 2 ** 20
@@ -260,10 +276,19 @@ def _forward_from(packed, aux, table, levels, feat, rois, out_size,
     b, h, w, c = feat.shape
     r = rois.shape[1]
 
+    # run the kernel at the padded sublane-multiple width: unaligned maps
+    # (COCO's 84) otherwise force the full-width stage-B fallback — the
+    # forward kernel measured 14.1 ms/b4 (~27x off roofline) before this.
+    # Pad columns are -inf; every query's column mask excludes them (bin
+    # bounds were computed against the TRUE width).
+    wp = _pad_w(w)
+    if wp != w:
+        table = jnp.pad(table, ((0, 0), (0, 0), (0, 0), (0, wp - w), (0, 0)),
+                        constant_values=-jnp.inf)
     cblock = _channel_block(h, w, c, levels, feat.dtype.itemsize)
     ncb = c // cblock
     rpp = next(g for g in _RPP_CANDIDATES if r % g == 0)
-    mbw = _stage_b_window(w, out_size)
+    mbw = _stage_b_window(wp, out_size)
     pp = out_size * out_size
     if flat_out and r % 8:
         raise ValueError(
@@ -287,15 +312,15 @@ def _forward_from(packed, aux, table, levels, feat, rois, out_size,
         num_scalar_prefetch=2,
         grid=(b, ncb, r // rpp),
         in_specs=[
-            pl.BlockSpec((1, levels, h, w, cblock),
+            pl.BlockSpec((1, levels, h, wp, cblock),
                          lambda bb, cc, rr, *_: (bb, 0, 0, 0, cc),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=out_spec,
-        scratch_shapes=[pltpu.VMEM((w, cblock), feat.dtype)],
+        scratch_shapes=[pltpu.VMEM((wp, cblock), feat.dtype)],
     )
     kern = functools.partial(_kernel, out_size=out_size,
-                             feat_w=w, feat_c=cblock, num_rois=r,
+                             feat_w=wp, feat_c=cblock, num_rois=r,
                              rois_per_program=rpp, mbw=mbw,
                              flat_out=flat_out)
     return pl.pallas_call(
@@ -499,6 +524,14 @@ def _backward_pallas(table, rois, g, out_size, spatial_scale, interpret):
     packed = hs | (he << 8) | (ws << 16) | (we << 24)
     aux = _row_query_aux(hs, he, levels, h)
 
+    # padded-width run, mirroring the forward (see _forward_from): bin
+    # bounds above were computed against the TRUE width, so -inf pad
+    # columns never win a bin; their dfeat columns are sliced off below
+    wp = _pad_w(w)
+    if wp != w:
+        table = jnp.pad(table, ((0, 0), (0, 0), (0, 0), (0, wp - w), (0, 0)),
+                        constant_values=-jnp.inf)
+
     rpp = next(g_ for g_ in _RPP_CANDIDATES if r % g_ == 0)
     cblock, _ = _bwd_channel_block(h, w, c, levels, table.dtype.itemsize,
                                    out_size, rpp)
@@ -507,29 +540,31 @@ def _backward_pallas(table, rois, g, out_size, spatial_scale, interpret):
         num_scalar_prefetch=2,
         grid=(b, ncb, r // rpp),
         in_specs=[
-            pl.BlockSpec((1, levels, h, w, cblock),
+            pl.BlockSpec((1, levels, h, wp, cblock),
                          lambda bb, cc, rr, *_: (bb, 0, 0, 0, cc),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, rpp, out_size, out_size, cblock),
                          lambda bb, cc, rr, *_: (bb, rr, 0, 0, cc),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, h, w, cblock),
+        out_specs=pl.BlockSpec((1, h, wp, cblock),
                                lambda bb, cc, rr, *_: (bb, 0, 0, cc),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((w, cblock), jnp.float32),   # rowmax
-                        pltpu.VMEM((w, cblock), jnp.float32)],  # drow
+        scratch_shapes=[pltpu.VMEM((wp, cblock), jnp.float32),   # rowmax
+                        pltpu.VMEM((wp, cblock), jnp.float32)],  # drow
     )
-    mbw = _stage_b_window(w, out_size)
+    mbw = _stage_b_window(wp, out_size)
     kern = functools.partial(_bwd_kernel, out_size=out_size, mbh=mbh,
-                             mbw=mbw, feat_h=h, feat_w=w, feat_c=cblock,
+                             mbw=mbw, feat_h=h, feat_w=wp, feat_c=cblock,
                              num_rois=r, rois_per_program=rpp)
     dfeat = pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((b, h, w, c), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, h, wp, c), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
     )(packed, aux, table, g)
+    if wp != w:
+        dfeat = dfeat[:, :, :w, :]
     return dfeat.astype(table.dtype)
 
 
