@@ -249,8 +249,16 @@ _UNMEASURED = ("*.md", "*.json", "*.jsonl", "docs/*", "benchmarks/ledger.json",
                "benchmarks/trace_ops.py", "benchmarks/probe_*",
                "benchmarks/profile_stages.py",
                # the orchestrator itself: edits after a refresh cannot
-               # rewrite already-recorded numbers
+               # rewrite already-recorded numbers — and check() separately
+               # compares the MATRIX hash stored in each record, so a row
+               # DEFINITION change does invalidate the record
                "benchmarks/refresh_ledger.py")
+
+
+def _matrix_hash() -> str:
+    import hashlib
+
+    return hashlib.sha256(repr(sorted(MATRIX.items())).encode()).hexdigest()[:12]
 
 
 def _docs_only_since(commit: str) -> bool:
@@ -279,6 +287,15 @@ def check(history: list) -> int:
         print(f"ledger check: FAIL — last record at {rec['commit']}, "
               f"HEAD is {head} and the diff between them touches measured "
               "code; run refresh_ledger.py", file=sys.stderr)
+        return 1
+    # refresh_ledger.py itself is in the docs-only allowlist (committing
+    # it can't rewrite recorded numbers), but a ROW-DEFINITION change
+    # means the tables describe a different measurement config than the
+    # one at HEAD — compare the MATRIX hash the record was measured under
+    if "matrix" in rec and rec["matrix"] != _matrix_hash():
+        print(f"ledger check: FAIL — record '{rec['label']}' was measured "
+              f"under MATRIX {rec['matrix']}, but HEAD's MATRIX hashes to "
+              f"{_matrix_hash()}; run refresh_ledger.py", file=sys.stderr)
         return 1
     import glob
 
@@ -333,6 +350,7 @@ def main() -> int:
         rec = {
             "label": args.label or f"r{len(history) + 1}",
             "commit": head_commit(),
+            "matrix": _matrix_hash(),
             "timestamp": time.strftime("%Y-%m-%dT%H:%M:%S%z"),
             "results": results,
         }

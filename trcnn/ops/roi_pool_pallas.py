@@ -482,8 +482,8 @@ def _bwd_channel_block(h: int, w: int, c: int, levels: int, t_item: int,
     # multiple of 8 (w for table/dfeat/scratch, out_size for g) — without
     # it the model under-reads the compiler's stack by ~8% (the portrait
     # failure measured 16.08 MB where the unpadded model said 15.0)
-    w_pad = -(-w // 8) * 8
-    p_pad = -(-out_size // 8) * 8
+    w_pad = _pad_w(w)
+    p_pad = _pad_w(out_size)
 
     def stack_bytes(cb: int) -> int:
         table = levels * h * w_pad * cb * t_item
