@@ -35,6 +35,8 @@ def main():
                          "(float canvas — the trainer feeds float)")
     ap.add_argument("--config", default="voc", choices=["voc", "coco"],
                     help="coco: 800x1344 canvas, 81 classes")
+    ap.add_argument("--backbone", default="vgg16",
+                    choices=["vgg16", "resnet101"])
     args = ap.parse_args()
 
     from trcnn.config import coco_config, voc_config
@@ -42,6 +44,8 @@ def main():
     from trcnn.models.faster_rcnn import postprocess
 
     cfg = voc_config() if args.config == "voc" else coco_config()
+    if args.backbone != "vgg16":
+        cfg = cfg.replace(backbone=args.backbone)
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     model = make_model(cfg, dtype=dtype)
     b, h, w = args.batch_size, cfg.image.pad_h, cfg.image.pad_w
